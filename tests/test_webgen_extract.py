@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from bobo_spark.extract import extract_text, extract_text_bytes
+from bobo_spark.tokenizer import term_freq_frame, tokenize, tokenize_batch
+from bobo_spark.webgen import gen_batch, make_vocab, webpages, zipf_cdf
+
+
+def test_gen_batch_deterministic():
+    vocab = np.array(make_vocab(), dtype=object)
+    cdf = zipf_cdf()
+    a = gen_batch(np.arange(50), vocab, cdf)
+    b = gen_batch(np.arange(50), vocab, cdf)
+    pd.testing.assert_frame_equal(a, b)
+    # per-row determinism independent of batching
+    c = gen_batch(np.array([10, 20, 30]), vocab, cdf)
+    row10 = a[a.doc_id == 10].reset_index(drop=True)
+    pd.testing.assert_frame_equal(row10, c[c.doc_id == 10].reset_index(drop=True))
+
+
+def test_webpages_partition_invariance(spark):
+    d4 = webpages(spark, 200, n_partitions=4).orderBy("doc_id").toPandas()
+    d13 = webpages(spark, 200, n_partitions=13).orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(d4, d13)
+    assert d4.url.is_unique
+    assert set(d4.lang) <= {"en", "de", "fr", "es", "pt", "it", "nl"}
+
+
+def test_extraction_byte_identical(spark):
+    df = webpages(spark, 300, n_partitions=5)
+    bad = df.withColumn("etext", extract_text("html")).where(
+        F.col("etext") != F.col("text")
+    )
+    assert bad.count() == 0
+    # pure-function level too
+    pdf = df.limit(20).toPandas()
+    for _, r in pdf.iterrows():
+        assert extract_text_bytes(bytes(r.html)).decode() == r.text
+
+
+def test_tokenizer_matches_oracle():
+    texts = pd.Series(["Hello, World! foo-bar 42x", "", "a  b\tc\nd", "ÀÉü ok"])
+    batch = tokenize_batch(texts)
+    for t, got in zip(texts, batch):
+        assert got == tokenize(t)
+    assert tokenize("Hello, World! foo-bar 42x") == ["hello", "world", "foo", "bar", "42x"]
+
+
+def test_term_freq_frame():
+    tf = term_freq_frame(np.array([7, 9]), pd.Series(["a b a c", "b b b"]))
+    got = {(r.doc_id, r.term): (r.tf, r.doclen) for r in tf.itertuples()}
+    assert got == {
+        (7, "a"): (2, 4),
+        (7, "b"): (1, 4),
+        (7, "c"): (1, 4),
+        (9, "b"): (3, 3),
+    }
+
+
+def test_zipf_head_skew():
+    # head term must be common enough to exercise skew handling
+    vocab = np.array(make_vocab(), dtype=object)
+    cdf = zipf_cdf()
+    pdf = gen_batch(np.arange(2000), vocab, cdf)
+    tf = term_freq_frame(pdf.doc_id.to_numpy(), pdf.text)
+    byterm = tf.groupby("term")["tf"].sum().sort_values(ascending=False)
+    total = byterm.sum()
+    assert byterm.iloc[0] / total > 0.02  # head term ≥2% of all tokens
