@@ -17,8 +17,16 @@ K1 = 1.2
 B = 0.75
 
 
-def idf(df: int | np.ndarray, n_docs: int):
-    """Robertson-Sparck-Jones idf with +1 floor (Lucene BM25 form)."""
+def idf(df, n_docs: int):
+    """Robertson-Sparck-Jones idf with +1 floor (Lucene BM25 form).
+
+    Scalars go through ``math.log`` — numpy's vectorized log can differ
+    from libm by 1 ulp, which would break exact score identity with the
+    pure-Python oracle. Array input (non-identity-critical callers)
+    uses ``np.log``.
+    """
+    if np.ndim(df) == 0:
+        return math.log(1.0 + (n_docs - float(df) + 0.5) / (float(df) + 0.5))
     return np.log(1.0 + (n_docs - df + 0.5) / (np.asarray(df, dtype=np.float64) + 0.5))
 
 

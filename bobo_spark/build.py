@@ -1,0 +1,468 @@
+"""Distributed inverted-index build job (the "BoboIndexer on Spark").
+
+Pipeline (one snapshot; every stage is checkpointed in the catalog
+manifest so a killed build resumes from the last completed stage —
+the north rule's "resumable from Iceberg snapshot checkpoints"):
+
+1. ``docs``     — extract text (if only html present), facet
+   dictionaries (lang, warc_ts day bucket), doc table with facet
+   ordinals. Dictionaries are value-sorted on first build; later
+   snapshots append new values after the parent max ordinal so
+   existing forward/posting data stays valid.
+2. ``pairs``    — Arrow-vectorized tokenize → (doc_id, term, tf,
+   doclen, lang_ord, ts_ord, segment). No shuffle: term counting is
+   per-batch pandas group counting.
+3. ``terms``    — global term dictionary (df, cf) + dense ``term_id``
+   assigned by distributed two-pass sorted rank (lexicographic on
+   first build; new terms append after parent max id → old postings
+   never invalidated).
+4. ``postings`` — pairs ⋈ terms, then ``repartitionByRange(segment,
+   term_id, doc_id)`` (the skew defusal: range boundaries are sampled
+   over the composite key, so a Zipf head term is split across many
+   partitions by doc range instead of hashing onto one) →
+   ``sortWithinPartitions`` → ``mapInPandas`` block encoder
+   (docID-delta varbyte + tf/doclen/facet-ordinal varbyte streams +
+   block-max metadata). Blocks are self-contained: scoring and facet
+   counting need no query-time joins.
+5. ``forward``  — per-segment doc table (doclen, url, facet ordinals),
+   the Bobo FacetDataCache analogue (facets/data/FacetDataCache.java:33-37).
+6. ``meta``     — per-segment lineage: rows, bytes, term count,
+   xxhash64 checksum + build metrics.
+7. ``published`` — atomic manifest commit.
+
+Block-max metadata stores ``(max_tf, min_dl)`` per block rather than a
+float score bound: the query engine derives a *safe* upper bound from
+current global stats (idf/avgdl drift across incremental snapshots can
+only be handled this way — a stored float bound would go stale).
+
+Reference parity: build path = index/BoboIndexer.java:40,73-86 +
+facet load = facets/data/FacetDataCache.java:97-194, collapsed into
+one batch job (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import IndexCatalog, Snapshot
+from .codecs import vb_encode
+from .extract import extract_text
+from .tokenizer import term_freq_frame
+
+POSTINGS_SCHEMA = (
+    "segment long, term_id long, first_doc long, last_doc long, n_docs int, "
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, lang_bytes binary, "
+    "ts_bytes binary, max_tf int, min_dl int"
+)
+
+
+@dataclass
+class BuildConfig:
+    docs_per_segment: int = 25_000
+    block_size: int = 128
+    rows_per_posting_partition: int = 2_000_000  # (term,doc) pairs per shuffle partition
+    broadcast_terms_threshold: int = 2_000_000  # broadcast dictionary below this
+    ts_bucket: str = "day"
+
+
+def _segment_col(cfg: BuildConfig):
+    return (F.col("doc_id") / F.lit(cfg.docs_per_segment)).cast("long").alias("segment")
+
+
+# ---------------------------------------------------------------- stage: docs
+
+
+def _build_dict(docs: DataFrame, col: str, parent_dict: pd.DataFrame | None) -> pd.DataFrame:
+    """Facet dictionary (ordinal, value, df, min_doc, max_doc).
+
+    Value-sorted on first build (Bobo's sorted TermValueList,
+    facets/data/TermValueList.java:114); incremental snapshots append
+    new values after the parent max ordinal for forward-index
+    stability.
+    """
+    agg = (
+        docs.groupBy(col)
+        .agg(
+            F.count("*").alias("df"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy(col)
+        .toPandas()
+        .rename(columns={col: "value"})
+    )
+    if parent_dict is None or parent_dict.empty:
+        agg.insert(0, "ordinal", np.arange(1, len(agg) + 1))  # ordinal 0 = missing (Bobo convention)
+        return agg
+    merged = parent_dict[["ordinal", "value"]].merge(agg, on="value", how="outer")
+    new_mask = merged["ordinal"].isna()
+    base = int(parent_dict["ordinal"].max()) if len(parent_dict) else 0
+    merged.loc[new_mask, "ordinal"] = base + np.arange(1, new_mask.sum() + 1)
+    merged["ordinal"] = merged["ordinal"].astype(np.int64)
+    # merge df/min/max with parent stats
+    p = parent_dict.set_index("value")
+    merged = merged.set_index("value")
+    for c, fn in (("df", "add"), ("min_doc", "min"), ("max_doc", "max")):
+        if c in p.columns:
+            a = merged[c].fillna(0 if c == "df" else np.nan)
+            b = p[c].reindex(merged.index)
+            if fn == "add":
+                merged[c] = a.add(b, fill_value=0)
+            elif fn == "min":
+                merged[c] = pd.concat([a, b], axis=1).min(axis=1)
+            else:
+                merged[c] = pd.concat([a, b], axis=1).max(axis=1)
+    out = merged.reset_index()[["ordinal", "value", "df", "min_doc", "max_doc"]]
+    out["df"] = out["df"].astype(np.int64)
+    return out.sort_values("ordinal").reset_index(drop=True)
+
+
+# --------------------------------------------------------------- stage: terms
+
+
+def assign_sorted_ids(terms: DataFrame, spark: SparkSession, id_base: int = 0, n_parts: int | None = None) -> DataFrame:
+    """Dense ids by global sort order — distributed two-pass rank.
+
+    Pass 1 counts rows per range partition; pass 2 assigns
+    ``offset[partition] + local_index`` inside ``mapInPandas``. The
+    result is partitioning-invariant (ids = global lexicographic rank)
+    and never funnels through a single-partition window.
+    """
+    if n_parts is None:
+        n_parts = max(8, spark.sparkContext.defaultParallelism)
+    ranged = terms.repartitionByRange(n_parts, "term").sortWithinPartitions("term")
+    ranged = ranged.persist()
+    # Pass 1: per-range-partition row count + first term. Offsets are
+    # keyed by the partition's first term (ranges are disjoint and
+    # terms unique), NOT by TaskContext.partitionId() — task indexes
+    # are stage-local and shift under plan composition (e.g. union).
+    counts = (
+        ranged.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count("*").alias("n"), F.min("term").alias("first_term"))
+        .orderBy("first_term")
+        .collect()
+    )
+    import bisect
+
+    keys, offsets = [], []
+    acc = id_base
+    for r in counts:
+        keys.append(r["first_term"])
+        offsets.append(acc)
+        acc += r["n"]
+    from pyspark.sql import types as T
+
+    # copy — StructType.add would mutate the DataFrame's cached schema
+    schema = T.StructType(
+        list(ranged.schema.fields) + [T.StructField("term_id", T.LongType(), False)]
+    )
+    b_keys = spark.sparkContext.broadcast((keys, offsets))
+
+    def assign(batches):
+        base = None
+        seen = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if base is None:
+                ks, offs = b_keys.value
+                i = bisect.bisect_right(ks, pdf["term"].iloc[0]) - 1
+                base = offs[i]
+            pdf = pdf.copy()
+            pdf["term_id"] = base + seen + np.arange(len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield pdf
+
+    out = ranged.mapInPandas(assign, schema=schema)
+    return out
+
+
+# ------------------------------------------------------------- stage: postings
+
+
+def _encode_partition(batches, block_size: int):
+    """Encode one sorted shuffle partition into posting block rows.
+
+    Input rows are sorted by (segment, term_id, doc_id); runs are
+    found vectorized via boundary diff. Each (segment, term) run is
+    cut into blocks of ``block_size`` postings with five varbyte
+    streams (doc deltas, tf, doclen, lang ordinal, ts ordinal) and
+    (max_tf, min_dl) block-max metadata.
+    """
+    pdfs = [p for p in batches if len(p)]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    seg = pdf["segment"].to_numpy(np.int64)
+    tid = pdf["term_id"].to_numpy(np.int64)
+    doc = pdf["doc_id"].to_numpy(np.int64)
+    tf = pdf["tf"].to_numpy(np.int64)
+    dl = pdf["doclen"].to_numpy(np.int64)
+    lo = pdf["lang_ord"].to_numpy(np.int64)
+    to = pdf["ts_ord"].to_numpy(np.int64)
+    n = len(pdf)
+    boundary = np.flatnonzero((np.diff(seg) != 0) | (np.diff(tid) != 0))
+    starts = np.concatenate(([0], boundary + 1))
+    ends = np.concatenate((boundary + 1, [n]))
+    out = {k: [] for k in (
+        "segment", "term_id", "first_doc", "last_doc", "n_docs", "doc_bytes",
+        "tf_bytes", "dl_bytes", "lang_bytes", "ts_bytes", "max_tf", "min_dl")}
+    for s, e in zip(starts, ends):
+        for bs in range(s, e, block_size):
+            be = min(bs + block_size, e)
+            d = doc[bs:be]
+            deltas = np.empty(be - bs, dtype=np.uint64)
+            deltas[0] = 0
+            if be - bs > 1:
+                deltas[1:] = np.diff(d).astype(np.uint64)
+            out["segment"].append(seg[s])
+            out["term_id"].append(tid[s])
+            out["first_doc"].append(d[0])
+            out["last_doc"].append(d[-1])
+            out["n_docs"].append(be - bs)
+            out["doc_bytes"].append(vb_encode(deltas[1:]))
+            out["tf_bytes"].append(vb_encode(tf[bs:be].astype(np.uint64)))
+            out["dl_bytes"].append(vb_encode(dl[bs:be].astype(np.uint64)))
+            out["lang_bytes"].append(vb_encode(lo[bs:be].astype(np.uint64)))
+            out["ts_bytes"].append(vb_encode(to[bs:be].astype(np.uint64)))
+            out["max_tf"].append(int(tf[bs:be].max()))
+            out["min_dl"].append(int(dl[bs:be].min()))
+    res = pd.DataFrame(out)
+    res["n_docs"] = res["n_docs"].astype(np.int32)
+    res["max_tf"] = res["max_tf"].astype(np.int32)
+    res["min_dl"] = res["min_dl"].astype(np.int32)
+    yield res
+
+
+# ------------------------------------------------------------------ the build
+
+
+def build_snapshot(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    resume: bool = True,
+) -> Snapshot:
+    """Build (or resume building) one index snapshot from a docs frame.
+
+    ``docs`` must have columns (doc_id long, url string, warc_ts
+    timestamp, lang string) and either ``text`` or ``html``; doc_ids
+    must be new (greater than any previous snapshot's).
+    """
+    cfg = cfg or BuildConfig()
+    cat = IndexCatalog(index_dir)
+    parent = cat.latest()
+    snap = cat.pending() if resume else None
+    if snap is None:
+        snap = cat.begin_snapshot()
+    sid = snap.snapshot_id
+
+    if "text" not in docs.columns:
+        docs = docs.withColumn("text", extract_text("html"))
+
+    docs_path = cat.table_path("_docs", sid)
+    dicts_dir = cat.table_path("_dicts", sid)
+
+    # ---- stage: docs + dictionaries -------------------------------------
+    if "docs" not in snap.stages:
+        parent_lang = parent_ts = None
+        if parent is not None:
+            parent_lang = spark.read.parquet(*cat.table_paths(parent, "dict_lang")).toPandas()
+            parent_ts = spark.read.parquet(*cat.table_paths(parent, "dict_ts_bucket")).toPandas()
+        base = docs.select(
+            "doc_id",
+            "url",
+            "text",
+            "lang",
+            F.date_format(F.date_trunc(cfg.ts_bucket, "warc_ts"), "yyyy-MM-dd").alias("ts_bucket"),
+        )
+        base = base.persist()
+        lang_dict = _build_dict(base, "lang", parent_lang)
+        ts_dict = _build_dict(base, "ts_bucket", parent_ts)
+        for name, d in (("dict_lang", lang_dict), ("dict_ts_bucket", ts_dict)):
+            spark.createDataFrame(
+                d.astype({"ordinal": "int64", "df": "int64", "min_doc": "int64", "max_doc": "int64"})
+            ).coalesce(1).write.mode("overwrite").parquet(cat.table_path(name, sid))
+        lang_map = spark.createDataFrame(lang_dict[["ordinal", "value"]]).withColumnsRenamed(
+            {"ordinal": "lang_ord", "value": "lang"}
+        )
+        ts_map = spark.createDataFrame(ts_dict[["ordinal", "value"]]).withColumnsRenamed(
+            {"ordinal": "ts_ord", "value": "ts_bucket"}
+        )
+        (
+            base.join(F.broadcast(lang_map), "lang")
+            .join(F.broadcast(ts_map), "ts_bucket")
+            .select("doc_id", "url", "text", "lang_ord", "ts_ord", _segment_col(cfg))
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
+        base.unpersist()
+        cat.mark_stage(snap, "docs")
+
+    docs_t = spark.read.parquet(docs_path)
+
+    # ---- stage: pairs ----------------------------------------------------
+    pairs_path = cat.table_path("_pairs", sid)
+    if "pairs" not in snap.stages:
+        def to_pairs(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                tf = term_freq_frame(pdf["doc_id"].to_numpy(np.int64), pdf["text"])
+                side = pdf[["doc_id", "lang_ord", "ts_ord", "segment"]].set_index("doc_id")
+                tf = tf.join(side, on="doc_id")
+                yield tf
+
+        pairs_schema = (
+            "doc_id long, term string, tf long, doclen long, "
+            "lang_ord long, ts_ord long, segment long"
+        )
+        docs_t.mapInPandas(to_pairs, schema=pairs_schema).write.mode("overwrite").parquet(pairs_path)
+        cat.mark_stage(snap, "pairs")
+
+    pairs = spark.read.parquet(pairs_path)
+
+    # ---- stage: terms ----------------------------------------------------
+    terms_path = cat.table_path("terms", sid)
+    if "terms" not in snap.stages:
+        delta_terms = pairs.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        if parent is not None:
+            old = spark.read.parquet(*cat.table_paths(parent, "terms"))
+            merged = (
+                delta_terms.join(old.withColumnsRenamed({"df": "df0", "cf": "cf0"}), "term", "full")
+                .select(
+                    "term",
+                    (F.coalesce("df", F.lit(0)) + F.coalesce("df0", F.lit(0))).alias("df"),
+                    (F.coalesce("cf", F.lit(0)) + F.coalesce("cf0", F.lit(0))).alias("cf"),
+                    F.col("term_id"),
+                )
+            )
+            known = merged.where(F.col("term_id").isNotNull())
+            novel = merged.where(F.col("term_id").isNull()).drop("term_id")
+            max_id = old.agg(F.max("term_id")).collect()[0][0] or -1
+            novel_ids = assign_sorted_ids(novel, spark, id_base=max_id + 1)
+            full = known.unionByName(novel_ids)
+        else:
+            full = assign_sorted_ids(delta_terms, spark, id_base=0)
+        full.write.mode("overwrite").parquet(terms_path)
+        cat.mark_stage(snap, "terms")
+
+    terms = spark.read.parquet(terms_path)
+
+    # ---- stage: stats ----------------------------------------------------
+    if "stats" not in snap.stages:
+        agg = docs_t.select(
+            F.count("*").alias("n"),
+            F.sum(F.length("text")).alias("bytes"),
+        ).collect()[0]
+        dl = pairs.groupBy("doc_id").agg(F.sum("tf").alias("dl")).agg(
+            F.count("*").alias("n_tok_docs"), F.sum("dl").alias("tok_sum")
+        ).collect()[0]
+        n_docs = agg["n"] + (parent.stats["n_docs"] if parent else 0)
+        tok_sum = (dl["tok_sum"] or 0) + (parent.stats.get("tok_sum", 0) if parent else 0)
+        snap.stats.update(
+            {
+                "n_docs": int(n_docs),
+                "tok_sum": int(tok_sum),
+                "avgdl": float(tok_sum) / max(1, n_docs),
+                "new_docs": int(agg["n"]),
+                "new_bytes": int(agg["bytes"] or 0),
+            }
+        )
+        cat.mark_stage(snap, "stats")
+
+    # ---- stage: postings -------------------------------------------------
+    postings_path = cat.table_path("postings", sid)
+    if "postings" not in snap.stages:
+        n_pairs = pairs.count()
+        n_parts = max(
+            spark.sparkContext.defaultParallelism,
+            math.ceil(n_pairs / cfg.rows_per_posting_partition),
+        )
+        n_terms = terms.count()
+        tmap = terms.select("term", "term_id")
+        if n_terms <= cfg.broadcast_terms_threshold:
+            tmap = F.broadcast(tmap)
+        enriched = pairs.join(tmap, "term").select(
+            "segment", "term_id", "doc_id", "tf", "doclen", "lang_ord", "ts_ord"
+        )
+        (
+            enriched.repartitionByRange(n_parts, "segment", "term_id", "doc_id")
+            .sortWithinPartitions("segment", "term_id", "doc_id")
+            .mapInPandas(lambda it: _encode_partition(it, cfg.block_size), schema=POSTINGS_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(postings_path)
+        )
+        cat.mark_stage(snap, "postings")
+
+    # ---- stage: forward --------------------------------------------------
+    forward_path = cat.table_path("forward", sid)
+    if "forward" not in snap.stages:
+        dl_df = pairs.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
+        (
+            docs_t.join(dl_df, "doc_id", "left")
+            .select(
+                "segment",
+                "doc_id",
+                F.coalesce("doclen", F.lit(0)).alias("doclen"),
+                "url",
+                "lang_ord",
+                "ts_ord",
+            )
+            .repartitionByRange(max(8, spark.sparkContext.defaultParallelism), "segment", "doc_id")
+            .sortWithinPartitions("segment", "doc_id")
+            .write.mode("overwrite")
+            .parquet(forward_path)
+        )
+        cat.mark_stage(snap, "forward")
+
+    # ---- stage: meta (lineage + metrics) ----------------------------------
+    meta_path = cat.table_path("meta", sid)
+    if "meta" not in snap.stages:
+        post = spark.read.parquet(postings_path)
+        (
+            post.groupBy("segment")
+            .agg(
+                F.sum("n_docs").alias("rows"),
+                F.sum(
+                    F.length("doc_bytes")
+                    + F.length("tf_bytes")
+                    + F.length("dl_bytes")
+                    + F.length("lang_bytes")
+                    + F.length("ts_bytes")
+                ).alias("bytes"),
+                F.countDistinct("term_id").alias("n_terms"),
+                F.expr("bit_xor(xxhash64(term_id, first_doc, last_doc, n_docs))").alias("checksum"),
+            )
+            .withColumn("snapshot_id", F.lit(sid))
+            .write.mode("overwrite")
+            .parquet(meta_path)
+        )
+        cat.mark_stage(snap, "meta")
+
+    # ---- publish ----------------------------------------------------------
+    if "published" not in snap.stages:
+        snap.stats["n_terms"] = terms.count()
+        snap.stats["n_segments"] = int(
+            spark.read.parquet(meta_path).count()
+            + (parent.stats.get("n_segments", 0) if parent else 0)
+        )
+        cumulative = {"terms": [terms_path], "dict_lang": [cat.table_path("dict_lang", sid)],
+                      "dict_ts_bucket": [cat.table_path("dict_ts_bucket", sid)]}
+        for t, p in (("postings", postings_path), ("forward", forward_path), ("meta", meta_path)):
+            prev = cat.table_paths(parent, t) if parent else []
+            cumulative[t] = prev + [p]
+        snap.tables = cumulative
+        cat.update_snapshot(snap)
+        cat.mark_stage(snap, "published")
+    return cat.get(sid)

