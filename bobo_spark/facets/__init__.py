@@ -1,0 +1,64 @@
+"""Bobo-style faceted browse semantics on Spark DataFrames.
+
+The browse engine reimplements the reference's facet machinery
+(selections, facet specs, multi-select counting, output shaping,
+sorting, paging, group-by) as declarative DataFrame plans that
+Catalyst optimizes: facet counting is ``groupBy().count()``
+(partial+final hash agg ≙ per-segment collectors + CombinedFacetAccessible
+merge), shaping is ``where/orderBy/limit``, group-by dedupe is a
+window ``row_number()``.
+"""
+
+from .spec import (
+    BrowseFacet,
+    BrowseRequest,
+    BrowseResult,
+    BrowseSelection,
+    FacetSpec,
+    FacetTermQuery,
+    SortField,
+)
+from .handlers import (
+    BucketFacetHandler,
+    ComboFacetHandler,
+    CompactMultiValueFacetHandler,
+    FacetHandler,
+    GeoFacetHandler,
+    GeoSimpleFacetHandler,
+    HistogramFacetHandler,
+    MultiValueFacetHandler,
+    MultiValueWithWeightFacetHandler,
+    PathFacetHandler,
+    RangeFacetHandler,
+    SimpleFacetHandler,
+    SimpleGroupbyFacetHandler,
+    TermFormat,
+    VirtualSimpleFacetHandler,
+)
+from .browse import BoboBrowser
+
+__all__ = [
+    "BoboBrowser",
+    "BrowseFacet",
+    "BrowseRequest",
+    "BrowseResult",
+    "BrowseSelection",
+    "BucketFacetHandler",
+    "ComboFacetHandler",
+    "CompactMultiValueFacetHandler",
+    "FacetHandler",
+    "FacetSpec",
+    "FacetTermQuery",
+    "GeoFacetHandler",
+    "GeoSimpleFacetHandler",
+    "HistogramFacetHandler",
+    "MultiValueFacetHandler",
+    "MultiValueWithWeightFacetHandler",
+    "PathFacetHandler",
+    "RangeFacetHandler",
+    "SimpleFacetHandler",
+    "SimpleGroupbyFacetHandler",
+    "SortField",
+    "TermFormat",
+    "VirtualSimpleFacetHandler",
+]

@@ -1,0 +1,150 @@
+"""The browse engine — MultiBoboBrowser.browse as a DataFrame plan.
+
+Execution (≙ SURVEY.md §3.1, api/MultiBoboBrowser.java:77-216):
+
+1. selections compile to predicates (pre-filters,
+   api/BoboSubBrowser.java:209-255)
+2. the hit set is one ``where`` over the base frame — Catalyst pushes
+   it into the scan
+3. each facet runs one aggregation; with ``expand_selection`` the
+   facet's own filter is left out (leave-one-out multi-select,
+   ≙ search/BoboSearcher.java:102-156) — all N aggregations share one
+   cached filtered base
+4. output shaping = where/orderBy/limit
+   (≙ DefaultFacetCountCollector.getFacets:152-219)
+5. hits = orderBy(sort keys, docid tiebreak) + offset/count paging
+   (≙ SortCollectorImpl top-k + ListMerger merge — Spark's
+   TakeOrderedAndProject does the per-partition heap + merge)
+6. optional group-by dedupe via window row_number
+   (≙ SortCollectorImpl.java:240-269)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .handlers import CompactMultiValueFacetHandler, FacetHandler, _combine_and
+from .spec import BrowseFacet, BrowseRequest, BrowseResult, FacetTermQuery
+
+
+class BoboBrowser:
+    def __init__(self, df: DataFrame, handlers: list[FacetHandler], doc_col: str = "id",
+                 doc_order=None):
+        self.df = df
+        self.handlers = {h.name: h for h in handlers}
+        self.doc_col = doc_col
+        # natural doc order (Lucene docID): default = doc_col ascending
+        self.doc_order = doc_order if doc_order is not None else F.col(doc_col)
+        for h in self.handlers.values():
+            if isinstance(h, CompactMultiValueFacetHandler):
+                h.bind_dictionary(df)
+
+    # ------------------------------------------------------------------ plan
+
+    def _selection_preds(self, req: BrowseRequest) -> dict:
+        preds = {}
+        for sel in req.selections:
+            h = self.handlers[sel.field]
+            p = h.predicate(self.df, sel)
+            preds[sel.field] = preds[sel.field] & p if sel.field in preds else p
+        return preds
+
+    def _query_pred_score(self, req: BrowseRequest):
+        if req.query is None:
+            return None, None
+        q: FacetTermQuery = req.query
+        h = self.handlers[q.selection.field]
+        pred = h.predicate(self.df, q.selection)
+        score = F.lit(0.0)
+        for v, b in sorted(q.boosts.items()):
+            score = score + F.when(h.value_predicate(self.df, v), F.lit(float(b))).otherwise(0.0)
+        return pred, score
+
+    def hits_frame(self, req: BrowseRequest) -> DataFrame:
+        """The full (unpaged) hit set as a DataFrame — the scale API."""
+        preds = self._selection_preds(req)
+        qpred, score = self._query_pred_score(req)
+        out = self.df
+        allp = list(preds.values()) + ([qpred] if qpred is not None else [])
+        if allp:
+            out = out.where(_combine_and(allp))
+        if score is not None:
+            out = out.withColumn("_score", score)
+        return out
+
+    def _sort_cols(self, req: BrowseRequest, scored: bool):
+        cols = []
+        for sf in req.sort:
+            if sf.field == "_score":
+                key = F.col("_score")
+            elif sf.field == "_docid":
+                key = self.doc_order
+            elif sf.field in self.handlers:
+                key = self.handlers[sf.field].sort_key(self.df)
+            else:
+                key = F.col(sf.field)
+            cols.append(key.desc() if sf.reverse else key.asc())
+        if not req.sort and scored:
+            cols.append(F.col("_score").desc())  # default sort = SCORE when real query
+        cols.append(self.doc_order.asc())  # stable tiebreak ≙ docid
+        return cols
+
+    # ------------------------------------------------------------------- run
+
+    def browse(self, req: BrowseRequest) -> BrowseResult:
+        preds = self._selection_preds(req)
+        qpred, score = self._query_pred_score(req)
+        base_list = list(preds.values()) + ([qpred] if qpred is not None else [])
+        base = self.df.where(_combine_and(base_list)) if base_list else self.df
+        if score is not None:
+            base = base.withColumn("_score", score)
+        base = base.persist()
+        try:
+            num_hits = base.count()
+            total_docs = self.df.count()
+
+            facet_map = {}
+            for fld, spec in req.facet_specs.items():
+                h = self.handlers[fld]
+                own_sel = next((s for s in req.selections if s.field == fld), None)
+                if spec.expand_selection and fld in preds:
+                    others = [p for f, p in preds.items() if f != fld]
+                    others += [qpred] if qpred is not None else []
+                    fhits = self.df.where(_combine_and(others)) if others else self.df
+                else:
+                    fhits = base
+                counts = h.counts(fhits, spec, self.df, own_sel)
+                if spec.min_hits > 0:
+                    counts = counts.where(F.col("count") >= spec.min_hits)
+                if spec.order_by == "hits":
+                    counts = counts.orderBy(F.desc("count"), F.asc("value"))
+                else:
+                    counts = counts.orderBy(F.asc("value"))
+                if spec.max_count and spec.max_count > 0:
+                    counts = counts.limit(spec.max_count)
+                facet_map[fld] = [BrowseFacet(r["value"], r["count"]) for r in counts.collect()]
+
+            ordered = base.orderBy(*self._sort_cols(req, score is not None))
+            if req.group_by:
+                gh = self.handlers.get(req.group_by)
+                gkey = gh.sort_key(base) if gh else F.col(req.group_by)
+                w = Window.partitionBy(gkey).orderBy(*self._sort_cols(req, score is not None))
+                ordered = (
+                    base.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") <= req.max_per_group)
+                    .drop("_rn")
+                    .orderBy(*self._sort_cols(req, score is not None))
+                )
+            page = ordered.limit(req.offset + req.count).collect()[req.offset:]
+            hit_rows = [r.asDict() for r in page]
+            hits = [r[self.doc_col] for r in page]
+            return BrowseResult(
+                num_hits=num_hits,
+                total_docs=total_docs,
+                hits=hits,
+                facet_map=facet_map,
+                hit_rows=hit_rows,
+            )
+        finally:
+            base.unpersist()
