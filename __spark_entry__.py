@@ -1,38 +1,611 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry routes through the bobo_spark engine (SURVEY.md §2
+operators): BM25 top-k search over a real inverted-index build, the
+Bobo-semantics facet browse engine, and the training-data pipeline
+operators (dedup / similarity / text analysis / multimodal plumbing).
+Each ``queries()`` item has a matching ANSI-SQL oracle in
+``oracle_sql()`` unless the operator is inherently approximate
+(LSH candidate generation), where the driver's rows-only check applies.
 """
 
 from __future__ import annotations
 
+import hashlib
+import shutil
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from bobo_spark import multimodal, simsearch, textops
+from bobo_spark.build import BuildConfig, build_snapshot
+from bobo_spark.facets import (
+    BoboBrowser,
+    BrowseRequest,
+    BrowseSelection,
+    BucketFacetHandler,
+    ComboFacetHandler,
+    FacetSpec,
+    HistogramFacetHandler,
+    PathFacetHandler,
+    RangeFacetHandler,
+    SimpleFacetHandler,
+    SimpleGroupbyFacetHandler,
+    SortField,
+)
+from bobo_spark.query import IndexReader, SearchRequest
+
+_T = Callable[[SparkSession, str], DataFrame]
+_INDEX_CACHE: dict[str, IndexReader] = {}
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _documents_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Build (once per sf_dir, cached on disk) the inverted index over
+    the documents table."""
+    key = sf_dir.rstrip("/")
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    idx_dir = f"/tmp/bobo_spark_idx_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+    docs = _load(spark, sf_dir, "documents")
+    n = docs.count()
+    reader = None
+    try:
+        reader = IndexReader(spark, idx_dir)
+        if reader.n_docs != n:
+            reader = None
+    except Exception:
+        reader = None
+    if reader is None:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        adapted = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + (F.col("doc_id") * 37) % (180 * 86400)
+            ).alias("warc_ts"),
+            F.col("lang"),
+            F.col("text"),
+        )
+        build_snapshot(
+            spark, adapted, idx_dir,
+            BuildConfig(docs_per_segment=max(250, n // 16), block_size=128),
+        )
+        reader = IndexReader(spark, idx_dir)
+    _INDEX_CACHE[key] = reader
+    return reader
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 conjunctive top-10 over the sf0.001 documents
+    index (build + query end-to-end)."""
+    reader = _documents_index(spark, "/root/testdata/sf0.001")
+    req = SearchRequest(query="spark join", mode="and", k=10)
+    hits = reader.search_df(req)
+    return hits.select("doc_id", F.round("score", 4).alias("score"))
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+# ------------------------------------------------------------------ helpers
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+_TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _bm25_sql(terms: list[str], mode: str, k: int = 10, lang: str | None = None) -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    having = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
+    langj = f"JOIN documents USING (doc_id) WHERE lang = '{lang}'" if lang else ""
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({tlist}) GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), st
+  GROUP BY tf.doc_id
+  {having}
+)
+SELECT doc_id, round(score, 4) AS score
+FROM sc {langj}
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+def _browser_documents(spark: SparkSession, sf_dir: str) -> BoboBrowser:
+    docs = _load(spark, sf_dir, "documents")
+    handlers = [
+        SimpleFacetHandler("lang"),
+        SimpleFacetHandler("source"),
+        RangeFacetHandler("n_chars", ["[0 TO 99]", "[100 TO 199]", "[200 TO 299]",
+                                      "[300 TO *]"], numeric=True),
+        HistogramFacetHandler("charshisto", "n_chars", 0, 10000, 100),
+        ComboFacetHandler("langSource", {"lang": SimpleFacetHandler("lang"),
+                                         "source": SimpleFacetHandler("source")}),
+    ]
+    return BoboBrowser(docs, handlers, doc_col="doc_id")
+
+
+# ------------------------------------------------------------------ queries
+
+
+def _q_bm25_and(spark, sf_dir):
+    r = _documents_index(spark, sf_dir)
+    return r.search_df(SearchRequest(query="spark join", mode="and", k=10)).select(
+        "doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_bm25_or(spark, sf_dir):
+    r = _documents_index(spark, sf_dir)
+    return r.search_df(SearchRequest(query="spark stream window", mode="or", k=10)).select(
+        "doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_bm25_lang(spark, sf_dir):
+    r = _documents_index(spark, sf_dir)
+    res = r.search(SearchRequest(query="spark stream", mode="or", k=10,
+                                 selections={"lang": ["en"]}))
+    rows = [(int(d), float(s)) for d, s in zip(res.hits["doc_id"], res.hits["score"])]
+    return spark.createDataFrame(rows, "doc_id long, score double").select(
+        "doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_bm25_facet_lang(spark, sf_dir):
+    r = _documents_index(spark, sf_dir)
+    res = r.search(SearchRequest(query="spark join", mode="and", k=10, facets=("lang",)))
+    pdf = res.facets["lang"]
+    return spark.createDataFrame(pdf).select(
+        F.col("value"), F.col("count").cast("long").alias("count"))
+
+
+def _q_browse_facet_source(spark, sf_dir):
+    b = _browser_documents(spark, sf_dir)
+    req = BrowseRequest()
+    req.add_selection(BrowseSelection("lang", values=["en"]))
+    req.set_facet_spec("source", FacetSpec(order_by="hits", max_count=10))
+    return b.facet_counts_df(req, "source")
+
+
+def _q_browse_multiselect(spark, sf_dir):
+    b = _browser_documents(spark, sf_dir)
+    req = BrowseRequest()
+    req.add_selection(BrowseSelection("lang", values=["de"]))
+    req.add_selection(BrowseSelection("source", values=["src1", "src2", "src3"]))
+    req.set_facet_spec("lang", FacetSpec(order_by="hits", expand_selection=True))
+    return b.facet_counts_df(req, "lang")
+
+
+def _q_browse_not(spark, sf_dir):
+    b = _browser_documents(spark, sf_dir)
+    req = BrowseRequest()
+    req.add_selection(BrowseSelection("lang", values=["en", "de"], not_values=["de"]))
+    req.set_facet_spec("source", FacetSpec(order_by="value"))
+    return b.facet_counts_df(req, "source")
+
+
+def _q_browse_combo(spark, sf_dir):
+    b = _browser_documents(spark, sf_dir)
+    req = BrowseRequest(count=1000)
+    req.add_selection(BrowseSelection("langSource", values=["lang:fr", "source:src5"],
+                                      not_values=["lang:de"]))
+    return b.hits_frame(req).select("doc_id")
+
+
+def _q_facet_range_nchars(spark, sf_dir):
+    b = _browser_documents(spark, sf_dir)
+    req = BrowseRequest()
+    req.set_facet_spec("n_chars", FacetSpec(order_by="value", min_hits=0))
+    return b.facet_counts_df(req, "n_chars")
+
+
+def _q_facet_histogram(spark, sf_dir):
+    b = _browser_documents(spark, sf_dir)
+    req = BrowseRequest()
+    req.add_selection(BrowseSelection("lang", values=["en"]))
+    req.set_facet_spec("charshisto", FacetSpec(order_by="value"))
+    return b.facet_counts_df(req, "charshisto")
+
+
+def _q_facet_path_region(spark, sf_dir):
+    cust = _load(spark, sf_dir, "customer")
+    nat = _load(spark, sf_dir, "nation")
+    reg = _load(spark, sf_dir, "region")
+    df = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("c_custkey", F.concat_ws("/", "r_name", "n_name").alias("geo"))
+    )
+    b = BoboBrowser(df, [PathFacetHandler("geo", separator="/")], doc_col="c_custkey")
+    req = BrowseRequest()
+    req.set_facet_spec("geo", FacetSpec(order_by="hits"))
+    return b.facet_counts_df(req, "geo")
+
+
+def _q_facet_groupby(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    b = BoboBrowser(li, [SimpleGroupbyFacetHandler("flagstatus",
+                                                   ["l_returnflag", "l_linestatus"])],
+                    doc_col="l_orderkey")
+    req = BrowseRequest()
+    req.set_facet_spec("flagstatus", FacetSpec(order_by="hits"))
+    return b.facet_counts_df(req, "flagstatus")
+
+
+def _q_facet_buckets(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    prio = SimpleFacetHandler("o_orderpriority")
+    buckets = BucketFacetHandler(
+        "urgency",
+        {"urgent": ["1-URGENT", "2-HIGH"], "normal": ["3-MEDIUM"],
+         "low": ["4-NOT SPECIFIED", "5-LOW"]},
+        depends=prio,
+    )
+    b = BoboBrowser(orders, [prio, buckets], doc_col="o_orderkey")
+    req = BrowseRequest()
+    req.add_selection(BrowseSelection("urgency", values=["urgent", "normal"]))
+    req.set_facet_spec("urgency", FacetSpec(order_by="hits"))
+    return b.facet_counts_df(req, "urgency")
+
+
+def _q_sort_page(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    b = BoboBrowser(ev, [SimpleFacetHandler("event_type")], doc_col="event_id")
+    req = BrowseRequest(count=20, offset=10, sort=[SortField("value", reverse=True)])
+    req.add_selection(BrowseSelection("event_type", values=["purchase"]))
+    return b.hits_page_df(req).select("event_id", "_rank")
+
+
+def _q_group_dedupe(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return textops.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return textops.minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
+
+
+def _q_minhash_sigs(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return textops.minhash_signatures(docs, n=3, k=8).select(
+        "doc_id", F.col("minhash").cast("array<long>").alias("minhash"))
+
+
+def _q_simhash(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return textops.simhash64(docs)
+
+
+def _q_fingerprint(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return textops.fingerprints(docs, n=5)
+
+
+def _q_token_counts(spark, sf_dir):
+    return textops.token_counts(_load(spark, sf_dir, "documents"))
+
+
+def _q_quality(spark, sf_dir):
+    return textops.quality_scores(_load(spark, sf_dir, "documents"))
+
+
+def _q_langid(spark, sf_dir):
+    return textops.langid(_load(spark, sf_dir, "documents"))
+
+
+def _q_simsearch(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return simsearch.cosine_topk(emb, [float(x) for x in qv], k=10)
+
+
+def _q_sim_neardup(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    return simsearch.cosine_neardup_pairs(emb, threshold=0.5)
+
+
+def _q_simsearch_lsh(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return simsearch.lsh_topk(emb, [float(x) for x in qv], k=10, n_planes=6)
+
+
+def _q_multimodal(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    media = multimodal.attach_media(
+        docs.withColumn("payload", F.encode("text", "utf-8")), "payload", "text")
+    return multimodal.extract_features(media, fake=True)
+
+
+def _q_sessionize(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = marked.withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def queries() -> dict[str, _T]:
+    return {
+        "bm25_topk_and": _q_bm25_and,
+        "bm25_topk_or": _q_bm25_or,
+        "bm25_topk_lang_sel": _q_bm25_lang,
+        "bm25_facet_lang": _q_bm25_facet_lang,
+        "browse_facet_source": _q_browse_facet_source,
+        "browse_multiselect_expand": _q_browse_multiselect,
+        "browse_not_values": _q_browse_not,
+        "browse_combo_selection": _q_browse_combo,
+        "facet_range_nchars": _q_facet_range_nchars,
+        "facet_histogram_nchars": _q_facet_histogram,
+        "facet_path_region": _q_facet_path_region,
+        "facet_groupby_flag_status": _q_facet_groupby,
+        "facet_buckets_priority": _q_facet_buckets,
+        "browse_sort_page": _q_sort_page,
+        "group_dedupe_top_order": _q_group_dedupe,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "minhash_signatures": _q_minhash_sigs,
+        "simhash64": _q_simhash,
+        "fingerprint_minshingle": _q_fingerprint,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality,
+        "langid": _q_langid,
+        "simsearch_topk_cosine": _q_simsearch,
+        "simsearch_neardup_pairs": _q_sim_neardup,
+        "simsearch_lsh_topk": _q_simsearch_lsh,
+        "multimodal_features": _q_multimodal,
+        "sessionize_events": _q_sessionize,
+    }
+
+
+# -------------------------------------------------------------- oracle SQL
+
+_SHINGLE3 = (
+    "list_transform(range(1, greatest(len(regexp_extract_all(lower(text),'[a-z0-9]+')) - 2, 1) + 1), "
+    "i -> array_to_string(list_slice(regexp_extract_all(lower(text),'[a-z0-9]+'), i, i + 2), ' '))"
+)
+_SHINGLE5 = (
+    "CASE WHEN len(regexp_extract_all(lower(text),'[a-z0-9]+')) >= 5 THEN "
+    "list_transform(range(1, len(regexp_extract_all(lower(text),'[a-z0-9]+')) - 4 + 1), "
+    "i -> array_to_string(list_slice(regexp_extract_all(lower(text),'[a-z0-9]+'), i, i + 4), ' ')) "
+    "ELSE [array_to_string(regexp_extract_all(lower(text),'[a-z0-9]+'), ' ')] END"
+)
+
+
+def _minhash_sql_sig(k: int) -> str:
+    a, b = textops._minhash_params(k)
+    p = textops.MERSENNE31
+    parts = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a[i]} * h + {b[i]}) % {p}))" for i in range(k)
+    )
+    return f"[{parts}]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = ", ".join(f"'{w}'" for w in textops.STOPWORDS_EN)
+    lang_lists = {l: ", ".join(f"'{w}'" for w in ws) for l, ws in textops.LANG_WORDS.items()}
+    lang_score = {l: f"len(list_intersect(list_distinct({_TOK_SQL}), [{lang_lists[l]}]))"
+                  for l in textops.LANG_WORDS}
+    langs = list(textops.LANG_WORDS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    tie = " + ".join(f"CASE WHEN s_{l} = {best} THEN 1 ELSE 0 END" for l in langs)
+    pred_case = "CASE WHEN " + " WHEN ".join(
+        f"s_{l} = {best} THEN '{l}'" for l in langs) + " END"
+
+    return {
+        "bm25_topk_and": _bm25_sql(["spark", "join"], "and"),
+        "bm25_topk_or": _bm25_sql(["spark", "stream", "window"], "or"),
+        "bm25_topk_lang_sel": _bm25_sql(["spark", "stream"], "or", lang="en"),
+        "bm25_facet_lang": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents),
+m AS (SELECT doc_id FROM tok WHERE term IN ('join', 'spark')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT lang AS value, count(*) AS count FROM documents JOIN m USING (doc_id) GROUP BY 1
+""",
+        "browse_facet_source": """
+SELECT source AS value, count(*) AS count FROM documents WHERE lang = 'en'
+GROUP BY 1 ORDER BY count DESC, value LIMIT 10
+""",
+        "browse_multiselect_expand": """
+SELECT lang AS value, count(*) AS count FROM documents
+WHERE source IN ('src1', 'src2', 'src3') GROUP BY 1
+""",
+        "browse_not_values": """
+SELECT source AS value, count(*) AS count FROM documents
+WHERE lang IN ('en', 'de') AND lang <> 'de' GROUP BY 1
+""",
+        "browse_combo_selection": """
+SELECT doc_id FROM documents
+WHERE (lang = 'fr' OR source = 'src5') AND lang <> 'de'
+""",
+        "facet_range_nchars": """
+WITH r(value, lo, hi) AS (VALUES ('[0 TO 99]', 0, 99), ('[100 TO 199]', 100, 199),
+                                 ('[200 TO 299]', 200, 299), ('[300 TO *]', 300, NULL))
+SELECT r.value AS value,
+       (SELECT count(*) FROM documents d WHERE d.n_chars >= r.lo
+        AND (r.hi IS NULL OR d.n_chars <= r.hi)) AS count
+FROM r
+""",
+        "facet_histogram_nchars": """
+SELECT lpad((n_chars // 100)::VARCHAR, 10, '0') AS value, count(*) AS count
+FROM documents WHERE lang = 'en' AND n_chars BETWEEN 0 AND 10000 GROUP BY 1
+""",
+        "facet_path_region": """
+SELECT r_name AS value, count(*) AS count
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+""",
+        "facet_groupby_flag_status": """
+SELECT l_returnflag || ',' || l_linestatus AS value, count(*) AS count
+FROM lineitem GROUP BY 1
+""",
+        "facet_buckets_priority": """
+WITH m(bucket, member) AS (VALUES ('urgent', '1-URGENT'), ('urgent', '2-HIGH'),
+                                  ('normal', '3-MEDIUM'), ('low', '4-NOT SPECIFIED'),
+                                  ('low', '5-LOW')),
+hits AS (SELECT * FROM orders WHERE o_orderpriority IN
+         ('1-URGENT', '2-HIGH', '3-MEDIUM')),
+vc AS (SELECT o_orderpriority AS member, count(*) AS c FROM hits GROUP BY 1)
+SELECT m.bucket AS value, coalesce(sum(vc.c), 0)::BIGINT AS count
+FROM m LEFT JOIN vc USING (member) GROUP BY 1 HAVING coalesce(sum(vc.c), 0) > 0
+""",
+        "browse_sort_page": """
+SELECT event_id, _rank FROM (
+  SELECT event_id, row_number() OVER (ORDER BY value DESC, event_id) AS _rank
+  FROM events WHERE event_type = 'purchase'
+) WHERE _rank > 10 AND _rank <= 30
+""",
+        "group_dedupe_top_order": """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders
+) WHERE rn = 1
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+        "dedup_ngram_jaccard": f"""
+WITH sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLE3})) AS s FROM documents),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+          FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.2
+""",
+        "minhash_signatures": f"""
+WITH h AS (SELECT doc_id,
+  list_transform({_SHINGLE3},
+    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {textops.MERSENNE31}) AS hs
+  FROM documents)
+SELECT doc_id, {_minhash_sql_sig(8)} AS minhash FROM h
+""",
+        "simhash64": f"""
+WITH h AS (SELECT doc_id,
+  list_transform(list_distinct({_TOK_SQL}),
+    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+  FROM documents)
+SELECT doc_id,
+  list_sum(list_transform(range(0, 60), i ->
+    CASE WHEN list_sum(list_transform(hs, t -> ((t >> i) & 1) * 2 - 1)) > 0
+         THEN 1::BIGINT << i ELSE 0 END))::BIGINT AS simhash
+FROM h
+""",
+        "fingerprint_minshingle": f"""
+SELECT doc_id, list_min(list_transform({_SHINGLE5}, s -> md5(s))) AS fingerprint
+FROM documents
+""",
+        "token_counts": f"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+       len({_TOK_SQL})::BIGINT AS re_tokens,
+       length(text)::BIGINT AS n_chars
+FROM documents
+""",
+        "quality_scores": f"""
+WITH t AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+c AS (SELECT doc_id, len(toks)::DOUBLE AS n_tok,
+             len(list_distinct(toks))::DOUBLE AS n_distinct,
+             len(list_intersect(list_distinct(toks), [{stop}]))::DOUBLE AS n_stop,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                  ELSE 0 END AS mean_tok_len
+      FROM t)
+SELECT doc_id, round(mean_tok_len, 4) AS mean_tok_len,
+       round(CASE WHEN n_distinct > 0 THEN n_stop / n_distinct ELSE 0 END, 4) AS stop_ratio,
+       round(CASE WHEN n_tok > 0 THEN n_distinct / n_tok ELSE 0 END, 4) AS distinct_ratio,
+       round(least(n_tok / 100.0, 1.0) * 0.4
+             + (CASE WHEN n_tok > 0 THEN n_distinct / n_tok ELSE 0 END) * 0.4
+             + (CASE WHEN n_distinct > 0 THEN n_stop / n_distinct ELSE 0 END) * 0.2, 4)
+         AS quality
+FROM c
+""",
+        "langid": f"""
+WITH s AS (SELECT doc_id, {', '.join(f'{lang_score[l]} AS s_{l}' for l in langs)}
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN {best} = 0 OR ({tie}) > 1 THEN 'und' ELSE {pred_case} END AS pred_lang,
+       {', '.join(f's_{l}::BIGINT AS score_{l}' for l in langs)}
+FROM s
+""",
+        "simsearch_topk_cosine": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+FROM embeddings, q
+ORDER BY list_dot_product(embedding::DOUBLE[], qv)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qv, qv))) DESC, vec_id
+LIMIT 10
+""",
+        "simsearch_neardup_pairs": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+         AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.5
+""",
+        "multimodal_features": """
+SELECT doc_id, 'text' AS media_type, length(text)::BIGINT AS n_bytes,
+       list_transform(range(0, 8),
+         i -> round((('0x' || substr(md5(text), i * 2 + 1, 2))::INT) / 255.0, 4))
+         AS feature
+FROM documents
+""",
+        "sessionize_events": """
+WITH g AS (SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+SELECT user_id, max(session_id)::BIGINT AS n_sessions, count(*) AS n_events
+FROM s GROUP BY 1
+""",
+        # dedup_minhash_lsh, simsearch_lsh_topk: approximate candidate
+        # generation — rows-only check by design.
+    }

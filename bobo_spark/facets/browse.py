@@ -92,6 +92,46 @@ class BoboBrowser:
 
     # ------------------------------------------------------------------- run
 
+    def facet_counts_df(self, req: BrowseRequest, fld: str,
+                        base: DataFrame | None = None) -> DataFrame:
+        """Shaped (value, count) facet counts as an uncollected
+        DataFrame — the scale API (also used by browse())."""
+        spec = req.facet_specs[fld]
+        h = self.handlers[fld]
+        preds = self._selection_preds(req)
+        qpred, _ = self._query_pred_score(req)
+        own_sel = next((s for s in req.selections if s.field == fld), None)
+        if spec.expand_selection and fld in preds:
+            others = [p for f, p in preds.items() if f != fld]
+            others += [qpred] if qpred is not None else []
+            fhits = self.df.where(_combine_and(others)) if others else self.df
+        elif base is not None:
+            fhits = base
+        else:
+            allp = list(preds.values()) + ([qpred] if qpred is not None else [])
+            fhits = self.df.where(_combine_and(allp)) if allp else self.df
+        counts = h.counts(fhits, spec, self.df, own_sel)
+        if spec.min_hits > 0:
+            counts = counts.where(F.col("count") >= spec.min_hits)
+        if spec.order_by == "hits":
+            counts = counts.orderBy(F.desc("count"), F.asc("value"))
+        else:
+            counts = counts.orderBy(F.asc("value"))
+        if spec.max_count and spec.max_count > 0:
+            counts = counts.limit(spec.max_count)
+        return counts
+
+    def hits_page_df(self, req: BrowseRequest) -> DataFrame:
+        """The requested hit page as a DataFrame with a ``_rank``
+        column (1-based global rank)."""
+        _, score = self._query_pred_score(req)
+        base = self.hits_frame(req)
+        w = Window.orderBy(*self._sort_cols(req, score is not None))
+        ranked = base.withColumn("_rank", F.row_number().over(w))
+        return ranked.where(
+            (F.col("_rank") > req.offset) & (F.col("_rank") <= req.offset + req.count)
+        )
+
     def browse(self, req: BrowseRequest) -> BrowseResult:
         preds = self._selection_preds(req)
         qpred, score = self._query_pred_score(req)
@@ -105,24 +145,8 @@ class BoboBrowser:
             total_docs = self.df.count()
 
             facet_map = {}
-            for fld, spec in req.facet_specs.items():
-                h = self.handlers[fld]
-                own_sel = next((s for s in req.selections if s.field == fld), None)
-                if spec.expand_selection and fld in preds:
-                    others = [p for f, p in preds.items() if f != fld]
-                    others += [qpred] if qpred is not None else []
-                    fhits = self.df.where(_combine_and(others)) if others else self.df
-                else:
-                    fhits = base
-                counts = h.counts(fhits, spec, self.df, own_sel)
-                if spec.min_hits > 0:
-                    counts = counts.where(F.col("count") >= spec.min_hits)
-                if spec.order_by == "hits":
-                    counts = counts.orderBy(F.desc("count"), F.asc("value"))
-                else:
-                    counts = counts.orderBy(F.asc("value"))
-                if spec.max_count and spec.max_count > 0:
-                    counts = counts.limit(spec.max_count)
+            for fld in req.facet_specs:
+                counts = self.facet_counts_df(req, fld, base=base)
                 facet_map[fld] = [BrowseFacet(r["value"], r["count"]) for r in counts.collect()]
 
             ordered = base.orderBy(*self._sort_cols(req, score is not None))

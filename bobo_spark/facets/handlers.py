@@ -153,17 +153,26 @@ class RangeFacetHandler(FacetHandler):
     Lucene's lexicographic term order in the reference."""
 
     def __init__(self, name: str, ranges: list[str] | None = None,
-                 fmt: TermFormat | None = None, column: str | None = None):
+                 fmt: TermFormat | None = None, column: str | None = None,
+                 numeric: bool = False):
         super().__init__(name)
         self.ranges = ranges or []
         self.fmt = fmt or TermFormat()
         self.column = column or name
+        self.numeric = numeric  # compare as longs (for numeric columns)
 
     def _col(self, df) -> Column:
-        return F.col(self.column)
+        c = F.col(self.column)
+        return c.cast("long") if self.numeric else c
+
+    def _canon(self, value: str):
+        return int(value) if self.numeric else self.fmt.canon(value)
 
     def _range_pred(self, df, parsed) -> Column:
         lo, hi, lo_inc, hi_inc = parsed
+        if self.numeric:
+            lo = int(lo) if lo is not None else None
+            hi = int(hi) if hi is not None else None
         col = self._col(df)
         pred = F.lit(True)
         if lo is not None:
@@ -176,7 +185,7 @@ class RangeFacetHandler(FacetHandler):
         parsed = parse_range(value, self.fmt)
         if parsed is None:  # plain equality on a single value
             try:
-                return self._col(df) == self.fmt.canon(value)
+                return self._col(df) == self._canon(value)
             except ValueError:
                 return F.lit(False)
         return self._range_pred(df, parsed)

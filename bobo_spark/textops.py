@@ -1,0 +1,299 @@
+"""Large-scale text-pipeline operators (dedup, language id, quality,
+token counts, fingerprints).
+
+Everything is expressed with built-in Spark SQL expressions (JVM-side,
+whole-stage-codegen) — no Python UDFs in any hot path. Hash-dependent
+operators derive ALL hashes from md5 (available and bit-identical in
+Spark and DuckDB), so every operator here has an exact cross-engine
+oracle.
+
+Scale notes (10^12-doc corpus):
+* exact dedup — one hash shuffle on md5(text); skew-free (hashes
+  uniform).
+* MinHash-LSH — signatures are per-row expressions (no shuffle); the
+  band join shuffles only (band_hash) keys; ubiquitous shingles can be
+  dropped with ``max_shingle_df`` to bound bucket sizes.
+* n-gram Jaccard — the exact variant (self-join on shingles) is the
+  small-scale oracle; LSH is the scale path.
+* SimHash — per-row expression + 64-bit hamming band join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_PATTERN = "[a-z0-9]+"
+MERSENNE31 = 2147483647
+
+STOPWORDS_EN = [
+    "the", "of", "and", "a", "to", "in", "is", "it", "for", "on",
+    "that", "with", "as", "by", "at", "from", "or", "an", "be", "this",
+]
+LANG_WORDS = {
+    "en": STOPWORDS_EN,
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "avec", "un", "une", "de"],
+    "es": ["el", "la", "los", "las", "es", "no", "con", "un", "una", "por"],
+}
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
+
+
+# ------------------------------------------------------------------ counting
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace and regex (BPE-ish pretoken) token counts per doc."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(tokens(text_col)).cast("long").alias("re_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristics: length, mean token length,
+    stopword ratio, distinct-token ratio, and a combined score."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    mean_tok_len = F.when(n_tok > 0, (F.aggregate(toks, F.lit(0).cast("double"),
+                                                  lambda a, t: a + F.length(t))) / n_tok).otherwise(0.0)
+    stop_ratio = F.when(n_distinct > 0, n_stop / n_distinct).otherwise(0.0)
+    distinct_ratio = F.when(n_tok > 0, n_distinct / n_tok).otherwise(0.0)
+    score = (
+        F.least(n_tok / 100.0, F.lit(1.0)) * 0.4
+        + distinct_ratio * 0.4
+        + stop_ratio * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(mean_tok_len, 4).alias("mean_tok_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def langid(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Wordlist-overlap language id (n-gram-heuristic stand-in).
+
+    predicted = language whose wordlist shares the most distinct
+    tokens; ties and zero overlap -> 'und'. Deterministic pure
+    function of the text."""
+    toks = F.array_distinct(tokens(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_WORDS.items()
+    }
+    langs = list(LANG_WORDS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    # first language (in fixed order) achieving the unique max
+    tie = sum([F.when(scores[lang] == best, 1).otherwise(0) for lang in langs], F.lit(0))
+    for lang in reversed(langs):
+        pred = F.when((best > 0) & (tie == 1) & (scores[lang] == best), lang).otherwise(pred)
+    out = df.select(F.col(id_col), pred.alias("pred_lang"),
+                    *[scores[lang].cast("long").alias(f"score_{lang}") for lang in langs])
+    return out
+
+
+# --------------------------------------------------------------- fingerprints
+
+
+def shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as strings (empty-safe)."""
+    toks = tokens(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 n: int = 5) -> DataFrame:
+    """Document fingerprint = min md5 over word n-gram shingles
+    (winnowing-style min-hash fingerprint)."""
+    sh = shingles(text_col, n)
+    return df.select(
+        F.col(id_col),
+        F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
+    )
+
+
+def _shingle_hash(s: Column) -> Column:
+    """60-bit integer hash of a shingle via md5 — identical in DuckDB:
+    ('0x' || substr(md5(s),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def _minhash_params(k: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) for h_i(x) = (a_i x + b_i) mod p."""
+    a, b = [], []
+    x = 1
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a.append(x % (MERSENNE31 - 1) + 1)
+        x = (x * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b.append(x % MERSENNE31)
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 3, k: int = 16) -> DataFrame:
+    """MinHash signature per doc: sig_i = min over shingles of
+    (a_i * (h(s) mod p) + b_i) mod p, p = 2^31-1. Pure expression —
+    no shuffle, no UDF."""
+    a, b = _minhash_params(k)
+    sh = shingles(text_col, n)
+    hashes = F.transform(sh, lambda s: _shingle_hash(s) % MERSENNE31)
+
+    def perm(i):  # single-arg lambda — transform must not see an index param
+        return lambda h: (F.lit(a[i]) * h + F.lit(b[i])) % MERSENNE31
+
+    sig = F.array(*[F.array_min(F.transform(hashes, perm(i))) for i in range(k)])
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, k: int = 16, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    Bands of r = k/bands rows; docs sharing any band bucket become
+    candidates; est_jaccard = matching signature fraction; pairs kept
+    at est_jaccard >= threshold. Shuffle cost: one exchange on
+    band_hash (bounded buckets), never O(n^2)."""
+    r = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.md5(F.concat_ws(",", F.transform(
+                        F.slice(F.col("minhash"), bi * r + 1, r), lambda x: x.cast("string")
+                    ))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "minhash", "bb.band", "bb.bucket")
+    left = banded.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"),
+                         "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"),
+                          "band", "bucket")
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                                     lambda x, y: x == y), lambda z: z)) / F.lit(float(len(_minhash_params(k)[0])))
+    return (
+        pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via shingle self-join.
+
+    The exact (oracle) variant — at corpus scale use minhash_lsh_pairs;
+    ``max_shingle_df`` drops ubiquitous shingles to bound the join."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.explode(F.array_distinct(shingles(text_col, n))).alias("s"))
+    if max_shingle_df:
+        keep = sh.groupBy("s").count().where(F.col("count") <= max_shingle_df).select("s")
+        sh = sh.join(keep, "s")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "s")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4)
+            .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash from md5-derived token bits (pure expression).
+
+    bit_i(doc) = 1 iff Σ over distinct tokens of (2*((h(t)>>i)&1)-1) > 0."""
+    # SQL-expr form: the shiftright/shiftleft builtins require literal
+    # shift amounts on the Python side but accept expressions in SQL.
+    sim = F.expr(
+        f"""
+        aggregate(
+          sequence(0, 59), cast(0 as bigint),
+          (acc, i) -> acc + CASE WHEN aggregate(
+                transform(array_distinct(regexp_extract_all(lower({text_col}),
+                                                            '{TOKEN_PATTERN}', 0)),
+                          t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+                cast(0 as bigint),
+                (a, t) -> a + (shiftright(t, i) % 2) * 2 - 1) > 0
+            THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END)
+        """
+    )
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                          max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation via 4 15-bit bands (a pair within hamming 3
+    must agree on ≥1 band), exact popcount filter after."""
+    sig = simhash64(df, id_col, text_col)
+    banded = sig.select(
+        F.col(id_col), "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright("simhash", 15 * i).bitwiseAND(F.lit(0x7FFF)).alias("key"))
+            for i in range(4)
+        ])).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.key")
+    l = banded.withColumnsRenamed({id_col: "id_a", "simhash": "sig_a"})
+    r = banded.withColumnsRenamed({id_col: "id_b", "simhash": "sig_b"})
+    pairs = (
+        l.join(r, ["band", "key"]).where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash: (text_hash, keeper_id,
+    n_dups). One uniform hash shuffle — the canonical 100-TB dedup."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+    )
