@@ -1,0 +1,127 @@
+"""Benchmark harness (driver contract).
+
+Runs on local[$SPARK_GRAFT_CPUS] against $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Sections:
+* build      — inverted-index build over $BENCH_DOCS (default 50k)
+  deterministic CC-style webpages -> docs/sec (the north-rule
+  throughput metric)
+* queryset   — reference query set (conjunctive/disjunctive/selection)
+  over the built index -> p50/p95 latency
+* sf queries — headline driver-contract operators at the sf dir
+
+Scaling evidence (N vs 4N cores) is produced by
+scripts/scaling_bench.py and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_docs = int(os.environ.get("BENCH_DOCS", "50000"))
+    n_queries = int(os.environ.get("BENCH_QUERIES", "60"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    from bobo_spark.session import get_spark
+
+    spark = get_spark("bobo_bench")
+    queries: dict[str, float] = {}
+    t_total0 = time.time()
+
+    # ---- index build throughput -----------------------------------------
+    from bobo_spark.build import BuildConfig, build_snapshot
+    from bobo_spark.webgen import make_vocab, webpages
+
+    idx_dir = "/tmp/bobo_bench_idx"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cores = spark.sparkContext.defaultParallelism
+    # materialize the input table first — build throughput measures the
+    # INDEX BUILD (parquet in), not the synthetic generator
+    src = f"/tmp/bobo_bench_src_{n_docs}.parquet"
+    try:
+        ok = spark.read.parquet(src).count() == n_docs
+    except Exception:
+        ok = False
+    if not ok:
+        webpages(spark, n_docs, n_partitions=cores * 2).write.mode("overwrite").parquet(src)
+    docs_df = spark.read.parquet(src)
+    t0 = time.time()
+    snap = build_snapshot(
+        spark,
+        docs_df,
+        idx_dir,
+        BuildConfig(docs_per_segment=max(2000, n_docs // (cores * 2))),
+    )
+    build_sec = time.time() - t0
+    queries["index_build"] = round(build_sec, 3)
+    docs_per_sec = n_docs / build_sec
+
+    # ---- query latency over the reference query set ----------------------
+    from bobo_spark.oracle import reference_queryset
+    from bobo_spark.query import IndexReader, SearchRequest
+
+    reader = IndexReader(spark, idx_dir)
+    vocab = make_vocab()
+    qs = reference_queryset(vocab, n_conj=n_queries // 3, n_disj=n_queries // 3,
+                            n_lang=n_queries // 6, n_ts=n_queries // 6)
+    lat = []
+    t0 = time.time()
+    for q in qs:
+        t1 = time.time()
+        reader.search(
+            SearchRequest(
+                query=q["query"], mode=q.get("mode", "and"), k=10,
+                facets=("lang",) if "selections" in q or "ts_range" in q else (),
+                selections=q.get("selections", {}), ts_range=q.get("ts_range"),
+            )
+        )
+        lat.append(time.time() - t1)
+    queries["queryset_total"] = round(time.time() - t0, 3)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p95 = lat[int(len(lat) * 0.95)]
+
+    # ---- headline sf-dir operators ---------------------------------------
+    import __spark_entry__ as entrymod
+
+    headline = [
+        "bm25_topk_and", "bm25_facet_lang", "browse_multiselect_expand",
+        "facet_groupby_flag_status", "facet_path_region", "dedup_exact",
+        "dedup_minhash_lsh", "simhash64", "simsearch_topk_cosine",
+        "token_counts", "sessionize_events",
+    ]
+    qmap = entrymod.queries()
+    for name in headline:
+        t1 = time.time()
+        qmap[name](spark, sf_dir).collect()
+        queries[name] = round(time.time() - t1, 3)
+
+    total = time.time() - t_total0
+    out = {
+        "metric": "index-build docs/sec + BM25 top-k p95 (sec); total bench wall sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "build_docs": n_docs,
+        "build_docs_per_sec": round(docs_per_sec, 1),
+        "query_p50_sec": round(p50, 4),
+        "query_p95_sec": round(p95, 4),
+        "n_queries": len(qs),
+        "cores": cores,
+        "index_stats": snap.stats,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

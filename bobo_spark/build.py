@@ -51,7 +51,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import IndexCatalog, Snapshot
-from .codecs import vb_encode
+from .codecs import vb_encode_segmented
 from .extract import extract_text
 from .tokenizer import term_freq_frame
 
@@ -208,36 +208,52 @@ def _encode_partition(batches, block_size: int):
     lo = pdf["lang_ord"].to_numpy(np.int64)
     to = pdf["ts_ord"].to_numpy(np.int64)
     n = len(pdf)
+    # (segment, term) run boundaries, then block tiling — all vectorized
     boundary = np.flatnonzero((np.diff(seg) != 0) | (np.diff(tid) != 0))
-    starts = np.concatenate(([0], boundary + 1))
-    ends = np.concatenate((boundary + 1, [n]))
-    out = {k: [] for k in (
-        "segment", "term_id", "first_doc", "last_doc", "n_docs", "doc_bytes",
-        "tf_bytes", "dl_bytes", "lang_bytes", "ts_bytes", "max_tf", "min_dl")}
-    for s, e in zip(starts, ends):
-        for bs in range(s, e, block_size):
-            be = min(bs + block_size, e)
-            d = doc[bs:be]
-            deltas = np.empty(be - bs, dtype=np.uint64)
-            deltas[0] = 0
-            if be - bs > 1:
-                deltas[1:] = np.diff(d).astype(np.uint64)
-            out["segment"].append(seg[s])
-            out["term_id"].append(tid[s])
-            out["first_doc"].append(d[0])
-            out["last_doc"].append(d[-1])
-            out["n_docs"].append(be - bs)
-            out["doc_bytes"].append(vb_encode(deltas[1:]))
-            out["tf_bytes"].append(vb_encode(tf[bs:be].astype(np.uint64)))
-            out["dl_bytes"].append(vb_encode(dl[bs:be].astype(np.uint64)))
-            out["lang_bytes"].append(vb_encode(lo[bs:be].astype(np.uint64)))
-            out["ts_bytes"].append(vb_encode(to[bs:be].astype(np.uint64)))
-            out["max_tf"].append(int(tf[bs:be].max()))
-            out["min_dl"].append(int(dl[bs:be].min()))
-    res = pd.DataFrame(out)
-    res["n_docs"] = res["n_docs"].astype(np.int32)
-    res["max_tf"] = res["max_tf"].astype(np.int32)
-    res["min_dl"] = res["min_dl"].astype(np.int32)
+    run_starts = np.concatenate(([0], boundary + 1))
+    run_ends = np.concatenate((boundary + 1, [n]))
+    run_lens = run_ends - run_starts
+    nblk = -(-run_lens // block_size)  # ceil
+    total_blocks = int(nblk.sum())
+    rrep = np.repeat(np.arange(len(run_starts)), nblk)
+    within = np.arange(total_blocks) - np.repeat(np.cumsum(nblk) - nblk, nblk)
+    bstarts = run_starts[rrep] + within * block_size
+    bends = np.minimum(bstarts + block_size, run_ends[rrep])
+    nd = bends - bstarts
+    # blocks tile [0, n) contiguously -> reduceat segments == blocks
+    max_tf = np.maximum.reduceat(tf, bstarts)
+    min_dl = np.minimum.reduceat(dl, bstarts)
+    # docID deltas: diff within block, first-of-block dropped (stored raw)
+    prev = np.empty_like(doc)
+    prev[0] = 0
+    prev[1:] = doc[:-1]
+    delta = doc - prev
+    is_start = np.zeros(n, dtype=bool)
+    is_start[bstarts] = True
+    doc_vals = delta[~is_start].astype(np.uint64)
+    dstarts = np.cumsum(nd - 1) - (nd - 1)
+    doc_buf, doc_off = vb_encode_segmented(doc_vals, dstarts)
+    tf_buf, tf_off = vb_encode_segmented(tf.astype(np.uint64), bstarts)
+    dl_buf, dl_off = vb_encode_segmented(dl.astype(np.uint64), bstarts)
+    lo_buf, lo_off = vb_encode_segmented(lo.astype(np.uint64), bstarts)
+    to_buf, to_off = vb_encode_segmented(to.astype(np.uint64), bstarts)
+    rng = range(total_blocks)
+    res = pd.DataFrame(
+        {
+            "segment": seg[bstarts],
+            "term_id": tid[bstarts],
+            "first_doc": doc[bstarts],
+            "last_doc": doc[bends - 1],
+            "n_docs": nd.astype(np.int32),
+            "doc_bytes": [doc_buf[doc_off[i]:doc_off[i + 1]] for i in rng],
+            "tf_bytes": [tf_buf[tf_off[i]:tf_off[i + 1]] for i in rng],
+            "dl_bytes": [dl_buf[dl_off[i]:dl_off[i + 1]] for i in rng],
+            "lang_bytes": [lo_buf[lo_off[i]:lo_off[i + 1]] for i in rng],
+            "ts_bytes": [to_buf[to_off[i]:to_off[i + 1]] for i in rng],
+            "max_tf": max_tf.astype(np.int32),
+            "min_dl": min_dl.astype(np.int32),
+        }
+    )
     yield res
 
 
@@ -365,11 +381,10 @@ def build_snapshot(
             F.count("*").alias("n"),
             F.sum(F.length("text")).alias("bytes"),
         ).collect()[0]
-        dl = pairs.groupBy("doc_id").agg(F.sum("tf").alias("dl")).agg(
-            F.count("*").alias("n_tok_docs"), F.sum("dl").alias("tok_sum")
-        ).collect()[0]
+        # corpus token count = Σ cf over the (merged) term dictionary —
+        # a scan of the small terms table, not of the pairs
+        tok_sum = terms.agg(F.sum("cf")).collect()[0][0] or 0
         n_docs = agg["n"] + (parent.stats["n_docs"] if parent else 0)
-        tok_sum = (dl["tok_sum"] or 0) + (parent.stats.get("tok_sum", 0) if parent else 0)
         snap.stats.update(
             {
                 "n_docs": int(n_docs),
@@ -384,7 +399,9 @@ def build_snapshot(
     # ---- stage: postings -------------------------------------------------
     postings_path = cat.table_path("postings", sid)
     if "postings" not in snap.stages:
-        n_pairs = pairs.count()
+        # pair count ≈ distinct (doc,term) ≤ token count — stats are
+        # already on the manifest, no extra count job
+        n_pairs = snap.stats.get("tok_sum", 0) or 1
         n_parts = max(
             spark.sparkContext.defaultParallelism,
             math.ceil(n_pairs / cfg.rows_per_posting_partition),

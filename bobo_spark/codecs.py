@@ -73,6 +73,42 @@ def vb_decode(buf: bytes | bytearray | memoryview, count: int | None = None) -> 
     return vals
 
 
+def vb_encode_segmented(values: np.ndarray, seg_starts: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Varbyte-encode `values` once, returning (buffer, byte_offsets)
+    where byte_offsets[i] is the buffer offset of segment i
+    (seg_starts are value indexes; one trailing offset is appended).
+
+    This is the batch path of the posting encoder: one vectorized
+    encode for millions of values across hundreds of thousands of
+    blocks, then zero-copy slicing per block — no per-run Python.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(len(seg_starts) + 1, dtype=np.int64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    ends_b = np.cumsum(nbytes)
+    total = int(ends_b[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    ends = ends_b - 1
+    for k in range(_MAX_VARBYTES):
+        mask = nbytes > k
+        if not mask.any():
+            break
+        group = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        out[ends[mask] - k] = group
+    out[ends] |= 0x80
+    # byte offset of each segment = cumulative bytes before its first value
+    starts_b = np.concatenate(([0], ends_b))  # len(values)+1 entries
+    offsets = np.empty(len(seg_starts) + 1, dtype=np.int64)
+    offsets[:-1] = starts_b[seg_starts] if len(seg_starts) else 0
+    offsets[-1] = total
+    return out.tobytes(), offsets
+
+
 def delta_encode(sorted_vals: np.ndarray) -> tuple[int, np.ndarray]:
     """Return (first_value, deltas) where deltas[0] = v1 - v0, … (strictly ascending input)."""
     v = np.asarray(sorted_vals, dtype=np.int64)

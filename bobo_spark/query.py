@@ -266,7 +266,8 @@ def _empty_out() -> pd.DataFrame:
 class IndexReader:
     """Open one snapshot of the index (≙ BoboBrowser construction)."""
 
-    def __init__(self, spark: SparkSession, index_dir: str, snapshot_id: int | None = None):
+    def __init__(self, spark: SparkSession, index_dir: str, snapshot_id: int | None = None,
+                 cache: bool = True):
         self.spark = spark
         self.catalog = IndexCatalog(index_dir)
         self.snap: Snapshot = (
@@ -279,6 +280,17 @@ class IndexReader:
         self._terms = self.spark.read.parquet(*self.catalog.table_paths(self.snap, "terms"))
         self._postings = self.spark.read.parquet(*self.catalog.table_paths(self.snap, "postings"))
         self._forward = self.spark.read.parquet(*self.catalog.table_paths(self.snap, "forward"))
+        self._terms_pd = None
+        if cache:
+            # hot-path tables pinned like Lucene's in-heap FacetDataCache
+            # (spills to disk when they don't fit executor memory)
+            self._terms = self._terms.persist()
+            self._postings = self._postings.persist()
+            # small dictionaries also live driver-side: term lookup then
+            # costs zero Spark jobs (adaptive — falls back to a filtered
+            # scan when the dictionary is web-scale)
+            if self.snap.stats.get("n_terms", 1 << 62) <= 2_000_000:
+                self._terms_pd = self._terms.select("term", "term_id", "df").toPandas()
         self.dicts = {
             "lang": self.spark.read.parquet(
                 *self.catalog.table_paths(self.snap, "dict_lang")
@@ -309,11 +321,14 @@ class IndexReader:
         qtokens = tokenize(req.query) if isinstance(req.query, str) else [
             t for q in req.query for t in tokenize(q)
         ]
-        terms_pd = (
-            self._terms.where(F.col("term").isin(list(set(qtokens))))
-            .select("term", "term_id", "df")
-            .toPandas()
-        )
+        if self._terms_pd is not None:
+            terms_pd = self._terms_pd[self._terms_pd["term"].isin(set(qtokens))]
+        else:
+            terms_pd = (
+                self._terms.where(F.col("term").isin(list(set(qtokens))))
+                .select("term", "term_id", "df")
+                .toPandas()
+            )
         plan_terms = _plan_terms(terms_pd, qtokens, self.n_docs)
         sel_lang, sel_ts = self._resolve_selections(req)
         return {
@@ -341,36 +356,31 @@ class IndexReader:
         )
 
     def search(self, req: SearchRequest) -> SearchResult:
+        """One Spark job: per-segment top-k/facet/stat rows are tiny
+        (≤ P·(k + #facet values) rows), so the cross-segment merge runs
+        driver-side in pandas — the literal analogue of the reference's
+        ListMerger + CombinedFacetAccessible (util/ListMerger.java:104-137,
+        facets/CombinedFacetAccessible.java:101-192)."""
         plan = self.plan(req)
-        out = self._segment_outputs(plan)
-        out = out.persist()
-        try:
-            hits = (
-                out.where(F.col("kind") == _K_HIT)
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(req.offset + req.k)
-                .select("doc_id", "score")
-                .toPandas()
-                .iloc[req.offset:]
-                .reset_index(drop=True)
+        out = self._segment_outputs(plan).toPandas()
+        hits_pd = out[out["kind"] == _K_HIT]
+        order = np.lexsort((hits_pd["doc_id"].to_numpy(), -hits_pd["score"].to_numpy()))
+        page = hits_pd.iloc[order[req.offset:req.offset + req.k]]
+        hits = page[["doc_id", "score"]].reset_index(drop=True)
+        num_hits = int(out[out["kind"] == _K_STATS]["count"].sum())
+        facets = {}
+        if plan["facets"]:
+            fc = (
+                out[out["kind"] == _K_FACET]
+                .groupby(["field", "ordinal"], as_index=False)["count"]
+                .sum()
             )
-            stats = out.where(F.col("kind") == _K_STATS).agg(F.sum("count")).collect()[0][0]
-            facets = {}
-            if plan["facets"]:
-                fc = (
-                    out.where(F.col("kind") == _K_FACET)
-                    .groupBy("field", "ordinal")
-                    .agg(F.sum("count").alias("count"))
-                    .toPandas()
-                )
-                for f in plan["facets"]:
-                    d = self.dicts[FACET_FIELDS[f]][["ordinal", "value"]]
-                    part = fc[fc["field"] == f].merge(d, on="ordinal")
-                    part = part.sort_values(["count", "value"], ascending=[False, True])
-                    facets[f] = part[["value", "count"]].reset_index(drop=True)
-            return SearchResult(hits=hits, num_hits=int(stats or 0), facets=facets)
-        finally:
-            out.unpersist()
+            for f in plan["facets"]:
+                d = self.dicts[FACET_FIELDS[f]][["ordinal", "value"]]
+                part = fc[fc["field"] == f].merge(d, on="ordinal")
+                part = part.sort_values(["count", "value"], ascending=[False, True])
+                facets[f] = part[["value", "count"]].reset_index(drop=True)
+        return SearchResult(hits=hits, num_hits=num_hits, facets=facets)
 
     def search_df(self, req: SearchRequest, with_url: bool = False) -> DataFrame:
         """Spark-DataFrame result (doc_id, score[, url]) for pipelines."""

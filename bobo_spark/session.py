@@ -34,6 +34,15 @@ def get_spark(
         ncores = cores
     if shuffle_partitions is None:
         shuffle_partitions = max(8, ncores)
+    # pin per-worker library thread pools: with N python workers, an
+    # unpinned Arrow/BLAS pool of ncpu threads each gives N*ncpu threads
+    # and measurable contention at high parallelism
+    worker_env = {"OMP_NUM_THREADS": "1", "OPENBLAS_NUM_THREADS": "1",
+                  "MKL_NUM_THREADS": "1", "ARROW_CPU_COUNT": "1"}
+    local_dir = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm/spark" if os.path.isdir("/dev/shm") else None,
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -42,10 +51,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    for k, v in worker_env.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
+        os.environ.setdefault(k, v)
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -155,11 +155,22 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     a, b = _minhash_params(k)
     sh = shingles(text_col, n)
     hashes = F.transform(sh, lambda s: _shingle_hash(s) % MERSENNE31)
-
-    def perm(i):  # single-arg lambda — transform must not see an index param
-        return lambda h: (F.lit(a[i]) * h + F.lit(b[i])) % MERSENNE31
-
-    sig = F.array(*[F.array_min(F.transform(hashes, perm(i))) for i in range(k)])
+    A = F.array(*[F.lit(x).cast("long") for x in a])
+    B = F.array(*[F.lit(x).cast("long") for x in b])
+    # one aggregate pass: md5 computed once per shingle, k mins updated
+    # elementwise (NOT k separate array_min scans — Catalyst would
+    # re-evaluate the hash transform per permutation)
+    sig = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(MERSENNE31).cast("long"), k),
+        lambda acc, h: F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.least(
+                F.element_at(acc, i + 1),
+                (F.element_at(A, i + 1) * h + F.element_at(B, i + 1)) % MERSENNE31,
+            ),
+        ),
+    )
     return df.select(F.col(id_col), sig.alias("minhash"))
 
 
@@ -244,20 +255,27 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """60-bit SimHash from md5-derived token bits (pure expression).
 
     bit_i(doc) = 1 iff Σ over distinct tokens of (2*((h(t)>>i)&1)-1) > 0."""
-    # SQL-expr form: the shiftright/shiftleft builtins require literal
-    # shift amounts on the Python side but accept expressions in SQL.
-    sim = F.expr(
-        f"""
-        aggregate(
-          sequence(0, 59), cast(0 as bigint),
-          (acc, i) -> acc + CASE WHEN aggregate(
-                transform(array_distinct(regexp_extract_all(lower({text_col}),
-                                                            '{TOKEN_PATTERN}', 0)),
-                          t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
-                cast(0 as bigint),
-                (a, t) -> a + (shiftright(t, i) % 2) * 2 - 1) > 0
-            THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END)
-        """
+    toks = F.array_distinct(tokens(text_col))
+    hs = F.transform(toks, _shingle_hash)
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(60)])
+    # one pass over tokens maintaining 60 bit-counters; the final
+    # bit-pack happens in the aggregate's finish lambda so the token
+    # scan is evaluated exactly once (md5 once per token).
+    sim = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), 60),
+        lambda acc, t: F.transform(
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda i: F.element_at(acc, i + 1)
+            + F.when((t % (F.element_at(pow2, i + 1) * 2)) >= F.element_at(pow2, i + 1),
+                     1).otherwise(-1),
+        ),
+        lambda acc: F.aggregate(
+            F.sequence(F.lit(0), F.lit(59)),
+            F.lit(0).cast("long"),
+            lambda s, i: s
+            + F.when(F.element_at(acc, i + 1) > 0, F.element_at(pow2, i + 1)).otherwise(0),
+        ),
     )
     return df.select(F.col(id_col), sim.alias("simhash"))
 

