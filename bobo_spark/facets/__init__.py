@@ -19,9 +19,11 @@ from .spec import (
     SortField,
 )
 from .handlers import (
+    AttributesFacetHandler,
     BucketFacetHandler,
     ComboFacetHandler,
     CompactMultiValueFacetHandler,
+    DynamicTimeRangeFacetHandler,
     FacetHandler,
     GeoFacetHandler,
     GeoSimpleFacetHandler,
@@ -38,8 +40,10 @@ from .handlers import (
 from .browse import BoboBrowser
 
 __all__ = [
+    "AttributesFacetHandler",
     "BoboBrowser",
     "BrowseFacet",
+    "DynamicTimeRangeFacetHandler",
     "BrowseRequest",
     "BrowseResult",
     "BrowseSelection",

@@ -225,14 +225,40 @@ class PathFacetHandler(FacetHandler):
     def _levels(self, path: str) -> int:
         return len([p for p in path.split(self.sep) if p])
 
-    def _prefix_pred_scalar(self, c: Column, value: str) -> Column:
-        return (c == value) | c.startswith(value + self.sep)
+    def _nlevels(self, c: Column) -> Column:
+        return F.size(F.filter(F.split(c, re.escape(self.sep)), lambda x: x != ""))
+
+    def _prefix_pred_scalar(self, c: Column, value: str, strict: bool = False) -> Column:
+        under = (c == value) | c.startswith(value.rstrip(self.sep) + self.sep)
+        if strict:
+            # strict: only docs strictly deeper than the selected node
+            # (facets/impl/PathFacetHandler.java getSelectionProperty strict)
+            under = under & (self._nlevels(c) > self._levels(value))
+        return under
 
     def value_predicate(self, df, value) -> Column:
         c = F.col(self.column)
         if self.multi:
             return F.exists(c, lambda x: self._prefix_pred_scalar(x, value))
         return self._prefix_pred_scalar(c, value)
+
+    def predicate(self, df, sel) -> Column:
+        c = F.col(self.column)
+        def mk(v, strict):
+            return lambda x: self._prefix_pred_scalar(x, v, strict)
+
+        preds = []
+        for v in sel.values:
+            if self.multi:
+                preds.append(F.exists(c, mk(v, sel.strict)))
+            else:
+                preds.append(self._prefix_pred_scalar(c, v, sel.strict))
+        combine = _combine_and if sel.operation == "and" else _combine_or
+        pred = combine(preds) if preds else F.lit(True)
+        if sel.not_values:
+            nots = _combine_or([self.value_predicate(df, v) for v in sel.not_values])
+            pred = pred & ~nots
+        return pred
 
     def counts(self, hits, spec, corpus, sel) -> DataFrame:
         depth = sel.depth if sel is not None else 0
@@ -446,6 +472,108 @@ class HistogramFacetHandler(FacetHandler):
             F.lpad(F.floor((v - self.start) / self.unit).cast("string"), 10, "0").alias("value")
         )
         return binned.groupBy("value").agg(F.count("*").alias("count"))
+
+
+class AttributesFacetHandler(MultiValueFacetHandler):
+    """key=value attribute facet over a multi-value field (≙ facets/
+    attribute/AttributesFacetHandler.java:20,53-82 +
+    AttributesFacetCountCollector.java:18).
+
+    Selection values may be bare keys ("prop3" — any value of that
+    key) or full pairs ("prop3=val1"). When a selection exists, counts
+    are restricted to the selected keys; ``max_facets_per_key`` keeps
+    the top-N values per key (count desc, value asc)."""
+
+    def __init__(self, name: str, column: str | None = None, separator: str = "=",
+                 max_facets_per_key: int = 0):
+        super().__init__(name, None, column)
+        self.sep = separator
+        self.max_facets_per_key = max_facets_per_key
+
+    def value_predicate(self, df, value) -> Column:
+        c = self._col(df)
+        if self.sep in value:
+            return F.array_contains(c, value)
+        prefix = value + self.sep
+
+        return F.exists(c, lambda x: x.startswith(prefix))
+
+    def counts(self, hits, spec, corpus, sel) -> DataFrame:
+        ex = hits.select(F.explode(F.array_distinct(self._col(hits))).alias("value"))
+        keys = []
+        if sel is not None:
+            keys = sorted({v.split(self.sep)[0] for v in sel.values})
+        if keys:
+            ex = ex.where(
+                _combine_or([F.col("value").startswith(k + self.sep) for k in keys])
+            )
+        c = ex.groupBy("value").agg(F.count("*").alias("count"))
+        cap = self.max_facets_per_key
+        if sel is not None and getattr(sel, "max_facets_per_key", None):
+            cap = sel.max_facets_per_key
+        if cap and cap > 0:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(
+                F.split(F.col("value"), re.escape(self.sep))[0]
+            ).orderBy(F.desc("count"), F.asc("value"))
+            c = (
+                c.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= cap)
+                .drop("_rn")
+            )
+        return c
+
+
+class DynamicTimeRangeFacetHandler(RangeFacetHandler):
+    """Runtime "time ago" buckets over a millis facet (≙ facets/impl/
+    DynamicTimeRangeFacetHandler.java:16,22-100 + DynamicRangeFacetHandler).
+
+    Named ranges use the reference's dddhhmmss ago-format; each named
+    range R (with predecessor P in sorted order) covers the absolute
+    interval [now-R+1, now-P] on the underlying zero-padded-millis
+    column. Facet labels are the NAMED ranges."""
+
+    MILLIS = {"day": 86_400_000, "hour": 3_600_000, "min": 60_000, "sec": 1000}
+    WIDTH = 20  # NUMBER_FORMAT "00000000000000000000"
+
+    def __init__(self, name: str, data_column: str, now_millis: int, ranges: list[str]):
+        super().__init__(name, ranges=None, fmt=TermFormat.int_format("0" * self.WIDTH),
+                         column=data_column)
+        self.now = now_millis
+        self.named = sorted(ranges)
+        self.range_string = {}
+        prev = "000000000"
+        for r in self.named:
+            end = self.fmt.canon(str(self._ago(prev)))
+            start = self.fmt.canon(str(self._ago(r) + 1))
+            self.range_string[r] = f"[{start} TO {end}]"
+            prev = r
+        self.ranges = [self.range_string[r] for r in self.named]
+
+    def _ago(self, rng: str) -> int:
+        if len(rng) != 9:
+            raise ValueError(f"invalid range format: {rng}")
+        d, h, m, s = int(rng[0:3]), int(rng[3:5]), int(rng[5:7]), int(rng[7:9])
+        return (self.now - d * self.MILLIS["day"] - h * self.MILLIS["hour"]
+                - m * self.MILLIS["min"] - s * self.MILLIS["sec"])
+
+    def value_predicate(self, df, value) -> Column:
+        rs = self.range_string.get(value)
+        if rs is None:
+            return F.lit(False)
+        return super().value_predicate(df, rs)
+
+    def counts(self, hits, spec, corpus, sel) -> DataFrame:
+        c = super().counts(hits, spec, corpus, sel)
+        spark = hits.sparkSession
+        mapping = spark.createDataFrame(
+            [(self.range_string[r], r) for r in self.named], "value string, named string"
+        )
+        return (
+            c.join(F.broadcast(mapping), "value")
+            .select(F.col("named").alias("value"), "count")
+        )
 
 
 class GeoSimpleFacetHandler(FacetHandler):

@@ -26,6 +26,7 @@ class BrowseSelection:
     operation: str = "or"  # "or" | "and" (ValueOperation)
     depth: int = 0  # path selection property
     strict: bool = False  # path selection property
+    max_facets_per_key: int = 0  # attributes selection property
 
 
 @dataclass
