@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from bobo_spark import multimodal, simsearch, textops
+from bobo_spark import mapred, multimodal, simsearch, textops
 from bobo_spark.build import BuildConfig, build_snapshot
 from bobo_spark.facets import (
     BoboBrowser,
@@ -27,7 +27,9 @@ from bobo_spark.facets import (
     BucketFacetHandler,
     ComboFacetHandler,
     FacetSpec,
+    FilteredRangeFacetHandler,
     HistogramFacetHandler,
+    MultiRangeFacetHandler,
     PathFacetHandler,
     RangeFacetHandler,
     SimpleFacetHandler,
@@ -343,6 +345,43 @@ def _q_multimodal(spark, sf_dir):
     return multimodal.extract_features(media, fake=True)
 
 
+def _q_filtered_range(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    h = FilteredRangeFacetHandler(
+        "n_chars", "[100 TO 300]",
+        ["[0 TO 149]", "[150 TO 249]", "[250 TO *]"], numeric=True)
+    b = BoboBrowser(docs, [h], doc_col="doc_id")
+    req = BrowseRequest()
+    req.set_facet_spec("n_chars", FacetSpec(order_by="value", min_hits=0))
+    return b.facet_counts_df(req, "n_chars")
+
+
+def _q_multirange(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    with_lens = docs.withColumn(
+        "tok_lens",
+        F.expr("transform(regexp_extract_all(lower(text), '[a-z0-9]+', 0), t -> length(t))"),
+    )
+    h = MultiRangeFacetHandler("tok_lens", ["[1 TO 3]", "[4 TO 6]", "[7 TO *]"], numeric=True)
+    b = BoboBrowser(with_lens, [h], doc_col="doc_id")
+    req = BrowseRequest()
+    req.add_selection(BrowseSelection("tok_lens", values=["[7 TO *]"]))
+    req.set_facet_spec("tok_lens", FacetSpec(order_by="value", min_hits=0))
+    return b.facet_counts_df(req, "tok_lens")
+
+
+def _q_map_reduce(spark, sf_dir):
+    import pandas as pd
+
+    docs = _load(spark, sf_dir, "documents")
+    mapped = mapred.map_reduce(
+        docs.where(F.col("lang") == "en"),
+        lambda pdf: pd.DataFrame({"n": [len(pdf)], "chars": [int(pdf["n_chars"].sum())]}),
+        "n long, chars long",
+    )
+    return mapped.agg(F.sum("n").alias("n_docs"), F.sum("chars").alias("total_chars"))
+
+
 def _q_sessionize(spark, sf_dir):
     ev = _load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -387,6 +426,9 @@ def queries() -> dict[str, _T]:
         "simsearch_lsh_topk": _q_simsearch_lsh,
         "multimodal_features": _q_multimodal,
         "sessionize_events": _q_sessionize,
+        "facet_filtered_range": _q_filtered_range,
+        "facet_multirange_toklen": _q_multirange,
+        "map_reduce_hook": _q_map_reduce,
     }
 
 
@@ -605,6 +647,34 @@ s AS (SELECT user_id,
       FROM g)
 SELECT user_id, max(session_id)::BIGINT AS n_sessions, count(*) AS n_events
 FROM s GROUP BY 1
+""",
+        "facet_filtered_range": """
+WITH f AS (SELECT * FROM documents WHERE n_chars BETWEEN 100 AND 300),
+r(value, lo, hi) AS (VALUES ('[0 TO 149]', 0, 149), ('[150 TO 249]', 150, 249),
+                            ('[250 TO *]', 250, NULL))
+SELECT r.value AS value,
+       (SELECT count(*) FROM f WHERE f.n_chars >= r.lo
+        AND (r.hi IS NULL OR f.n_chars <= r.hi)) AS count
+FROM r
+""",
+        "facet_multirange_toklen": """
+WITH t AS (SELECT doc_id,
+                  list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                 x -> length(x)) AS lens
+           FROM documents),
+hits AS (SELECT * FROM t WHERE len(list_filter(lens, x -> x >= 7)) > 0)
+SELECT '[1 TO 3]' AS value,
+       (SELECT count(*) FROM hits WHERE len(list_filter(lens, x -> x BETWEEN 1 AND 3)) > 0) AS count
+UNION ALL
+SELECT '[4 TO 6]',
+       (SELECT count(*) FROM hits WHERE len(list_filter(lens, x -> x BETWEEN 4 AND 6)) > 0)
+UNION ALL
+SELECT '[7 TO *]',
+       (SELECT count(*) FROM hits WHERE len(list_filter(lens, x -> x >= 7)) > 0)
+""",
+        "map_reduce_hook": """
+SELECT count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents WHERE lang = 'en'
 """,
         # dedup_minhash_lsh, simsearch_lsh_topk: approximate candidate
         # generation — rows-only check by design.

@@ -25,6 +25,8 @@ from .handlers import (
     CompactMultiValueFacetHandler,
     DynamicTimeRangeFacetHandler,
     FacetHandler,
+    FilteredRangeFacetHandler,
+    MultiRangeFacetHandler,
     GeoFacetHandler,
     GeoSimpleFacetHandler,
     HistogramFacetHandler,
@@ -52,6 +54,8 @@ __all__ = [
     "CompactMultiValueFacetHandler",
     "FacetHandler",
     "FacetSpec",
+    "FilteredRangeFacetHandler",
+    "MultiRangeFacetHandler",
     "FacetTermQuery",
     "GeoFacetHandler",
     "GeoSimpleFacetHandler",

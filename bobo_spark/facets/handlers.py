@@ -208,6 +208,68 @@ class RangeFacetHandler(FacetHandler):
         return self._col(df)
 
 
+class FilteredRangeFacetHandler(RangeFacetHandler):
+    """Range handler restricted to a fixed sub-range (≙ facets/impl/
+    FilteredRangeFacetHandler.java:20,29-48): every predicate and
+    count is pre-ANDed with the filter range."""
+
+    def __init__(self, name: str, filter_range: str, ranges: list[str] | None = None,
+                 fmt: TermFormat | None = None, column: str | None = None,
+                 numeric: bool = False):
+        super().__init__(name, ranges, fmt, column, numeric)
+        self.filter_range = filter_range
+
+    def _filter_pred(self, df) -> Column:
+        return self._range_pred(df, parse_range(self.filter_range, self.fmt))
+
+    def value_predicate(self, df, value) -> Column:
+        return super().value_predicate(df, value) & self._filter_pred(df)
+
+    def counts(self, hits, spec, corpus, sel) -> DataFrame:
+        return super().counts(hits.where(self._filter_pred(hits)), spec, corpus, sel)
+
+
+class MultiRangeFacetHandler(RangeFacetHandler):
+    """Range facet over a multi-valued column (≙ facets/range/
+    MultiRangeFacetHandler.java:29 + FacetRangeFilter.java:95-140):
+    a doc matches a range iff ANY element falls inside; counting sums
+    per-range element-set membership (doc counted once per range)."""
+
+    def _elem_range_pred(self, x: Column, parsed) -> Column:
+        lo, hi, lo_inc, hi_inc = parsed
+        if self.numeric:
+            lo = int(lo) if lo is not None else None
+            hi = int(hi) if hi is not None else None
+            x = x.cast("long")
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (x >= lo if lo_inc else x > lo)
+        if hi is not None:
+            pred = pred & (x <= hi if hi_inc else x < hi)
+        return pred
+
+    def value_predicate(self, df, value) -> Column:
+        parsed = parse_range(value, self.fmt)
+        c = F.col(self.column)
+        if parsed is None:
+            try:
+                return F.array_contains(
+                    c.cast("array<long>") if self.numeric else c, self._canon(value))
+            except ValueError:
+                return F.lit(False)
+        return F.exists(c, lambda x: self._elem_range_pred(x, parsed))
+
+    def counts(self, hits, spec, corpus, sel) -> DataFrame:
+        aggs = [
+            F.sum(F.when(self.value_predicate(hits, r), 1).otherwise(0))
+            .cast("long").alias(f"r{i}")
+            for i, r in enumerate(self.ranges)
+        ]
+        row = hits.agg(*aggs)
+        pairs = ", ".join(f"'{r}', r{i}" for i, r in enumerate(self.ranges))
+        return row.selectExpr(f"stack({len(self.ranges)}, {pairs}) as (value, count)")
+
+
 class PathFacetHandler(FacetHandler):
     """Hierarchical path facet (≙ facets/impl/PathFacetHandler.java:27,137-199).
 

@@ -128,6 +128,48 @@ def _selection_mask(lang, ts, sel_lang: np.ndarray | None, sel_ts: np.ndarray | 
     return m
 
 
+def _block_bound(g: pd.DataFrame, idf_t: float, avgdl: float) -> np.ndarray:
+    """Safe per-block upper bound of any contribution in the block:
+    contrib is monotone ↑ in tf and ↓ in dl, so (max_tf, min_dl) bound
+    it. Derived from CURRENT global stats — stays valid across
+    incremental snapshots (stored float bounds would go stale)."""
+    return bm25.contrib(g["max_tf"].to_numpy(np.float64),
+                        g["min_dl"].to_numpy(np.float64), idf_t, avgdl)
+
+
+def _blockmax_prune(groups: dict, present: list, k: int, avgdl: float) -> dict:
+    """Block-max two-phase pruning for disjunctive top-k.
+
+    θ = k-th largest exact single-term contribution of the
+    highest-idf term (a true lower bound of the final k-th score: a
+    doc's total ≥ any single contribution). A block b of term t whose
+    bound(b) + Σ_{t'≠t} max-bound(t') < θ provably contains no top-k
+    doc — every doc in it scores < θ while ≥k docs score ≥ θ — so it
+    is dropped before decode. Docs of surviving blocks that also sat
+    in dropped blocks end up partial-scored BELOW θ and fall out of
+    the page, so returned docIDs AND scores stay exact
+    (property-tested against the exhaustive path)."""
+    bounds = {t["term_id"]: _block_bound(groups[t["term_id"]], t["idf"], avgdl)
+              for t in present}
+    gmax = {tid: (b.max() if b.size else 0.0) for tid, b in bounds.items()}
+    tstar = max(present, key=lambda t: t["idf"])
+    docs, tf, dl, _lang, _ts = _decode_term_blocks(groups[tstar["term_id"]])
+    c = bm25.contrib(tf, dl, tstar["idf"], avgdl)
+    if c.size < k:
+        return groups
+    theta = np.partition(c, c.size - k)[c.size - k]
+    out = {}
+    for t in present:
+        tid = t["term_id"]
+        if tid == tstar["term_id"]:
+            out[tid] = groups[tid]
+            continue
+        cross = sum(gmax[o["term_id"]] for o in present if o["term_id"] != tid)
+        keep = (bounds[tid] + cross) >= theta
+        out[tid] = groups[tid][keep]
+    return out
+
+
 def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
     """Score one segment's query-term blocks (pure pandas/numpy)."""
     terms = plan["terms"]
@@ -160,6 +202,14 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
             idx = np.searchsorted(rf, l, side="right") - 1
             keep = (idx >= 0) & (rl[np.maximum(idx, 0)] >= f)
             groups[t["term_id"]] = g[keep]
+
+    # ---- disjunctive block-max pruning (top-k only: no facets/selections)
+    pruned_mode = (
+        mode == "or" and plan.get("prune") and not plan["facets"]
+        and sel_lang is None and sel_ts is None and len(present) > 1
+    )
+    if pruned_mode:
+        groups = _blockmax_prune(groups, present, k, avgdl)
 
     decoded = {}
     for t in present:
@@ -381,6 +431,83 @@ class IndexReader:
                 part = part.sort_values(["count", "value"], ascending=[False, True])
                 facets[f] = part[["value", "count"]].reset_index(drop=True)
         return SearchResult(hits=hits, num_hits=num_hits, facets=facets)
+
+    def search_many(self, reqs: list[SearchRequest]) -> list[SearchResult]:
+        """Batch execution: the whole query set runs as ONE Spark job.
+
+        Per-segment tasks score every query against their segment
+        (results identical to search() — same code path per query);
+        per-query driver/scheduling overhead amortizes to zero, so
+        batch retrieval throughput scales with executors. This is the
+        bulk-evaluation pattern (training-data mining, offline query
+        sets); use search() for single-query latency."""
+        plans = [self.plan(r) for r in reqs]
+        for p in plans:
+            p["prune"] = False  # batch mode: exact scoring, shared scans
+        all_tids = sorted({
+            t["term_id"] for p in plans for t in p["terms"] if t["term_id"] >= 0
+        })
+        runnable = [
+            i for i, p in enumerate(plans)
+            if [t for t in p["terms"] if t["term_id"] >= 0]
+            and not (p["mode"] == "and"
+                     and any(t["term_id"] < 0 for t in p["terms"]))
+        ]
+        results: list[SearchResult | None] = [None] * len(reqs)
+        out_schema = OUT_SCHEMA + ", qid int"
+        if all_tids and runnable:
+            runnable_plans = [(i, plans[i]) for i in runnable]
+
+            def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+                outs = []
+                for qid, plan in runnable_plans:
+                    tids = [t["term_id"] for t in plan["terms"] if t["term_id"] >= 0]
+                    sub = pdf[pdf["term_id"].isin(tids)]
+                    if len(sub):
+                        o = _segment_search(sub, plan)
+                        if len(o):
+                            o = o.copy()
+                            o["qid"] = np.int32(qid)
+                            outs.append(o)
+                if not outs:
+                    e = _empty_out()
+                    e["qid"] = pd.Series([], dtype="int32")
+                    return e
+                return pd.concat(outs, ignore_index=True)
+
+            blocks = self._postings.where(F.col("term_id").isin(all_tids))
+            out = blocks.groupBy("segment").applyInPandas(
+                run_segment, schema=out_schema
+            ).toPandas()
+        else:
+            out = pd.DataFrame(columns=["kind", "doc_id", "score", "field",
+                                        "ordinal", "count", "qid"])
+        for i, (req, plan) in enumerate(zip(reqs, plans)):
+            sub = out[out["qid"] == i] if len(out) else out
+            hits_pd = sub[sub["kind"] == _K_HIT] if len(sub) else sub
+            if len(hits_pd):
+                order = np.lexsort((hits_pd["doc_id"].to_numpy(),
+                                    -hits_pd["score"].to_numpy()))
+                page = hits_pd.iloc[order[req.offset:req.offset + req.k]]
+                hits = page[["doc_id", "score"]].reset_index(drop=True)
+            else:
+                hits = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                     "score": pd.Series([], dtype="float64")})
+            num_hits = int(sub[sub["kind"] == _K_STATS]["count"].sum()) if len(sub) else 0
+            facets = {}
+            if plan["facets"] and len(sub):
+                fc = (sub[sub["kind"] == _K_FACET]
+                      .groupby(["field", "ordinal"], as_index=False)["count"].sum())
+                for f in plan["facets"]:
+                    d = self.dicts[FACET_FIELDS[f]][["ordinal", "value"]]
+                    part = fc[fc["field"] == f].merge(d, on="ordinal")
+                    part = part.sort_values(["count", "value"], ascending=[False, True])
+                    facets[f] = part[["value", "count"]].reset_index(drop=True)
+            elif plan["facets"]:
+                facets = {f: pd.DataFrame({"value": [], "count": []})
+                          for f in plan["facets"]}
+            results[i] = SearchResult(hits=hits, num_hits=num_hits, facets=facets)
+        return results
 
     def search_df(self, req: SearchRequest, with_url: bool = False) -> DataFrame:
         """Spark-DataFrame result (doc_id, score[, url]) for pipelines."""

@@ -1,0 +1,58 @@
+"""Streaming / near-real-time ingestion.
+
+The reference is strictly batch (SURVEY.md §2.8): NRT ingestion lived
+in the external Zoie project (trace: api/MultiBoboBrowser.java:86-88);
+its own incremental story is interleaved commits + reader reopen
+(test/BasicIndexingTest.java:61-191). The Spark-native equivalent is
+Structured Streaming ``foreachBatch`` → one index snapshot per
+micro-batch: each batch appends new segments + new terms atomically
+(catalog publish), and readers open the latest published snapshot —
+exactly the commit/reopen cycle, with exactly-once via the batch-id
+ledger kept on the manifest.
+
+The micro-batch must carry monotonically increasing ``doc_id``s (new
+docs only — the reference appends too; updates/deletes are a
+tombstone table, future work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .build import BuildConfig, build_snapshot
+from .catalog import IndexCatalog
+
+
+def ingest_stream(
+    stream_df: DataFrame,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
+):
+    """Attach an index-building sink to a streaming DataFrame.
+
+    Returns the started StreamingQuery. Each micro-batch becomes one
+    snapshot; batches already recorded on the manifest are skipped
+    (restart-safe: foreachBatch may re-deliver the last batch)."""
+    cfg = cfg or BuildConfig()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        cat = IndexCatalog(index_dir)
+        done = {s.stats.get("stream_batch_id") for s in cat.snapshots()
+                if "published" in s.stages}
+        if batch_id in done:
+            return  # exactly-once: re-delivered batch
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        snap = build_snapshot(spark, batch_df, index_dir, cfg, resume=True)
+        snap.stats["stream_batch_id"] = batch_id
+        cat.update_snapshot(snap)
+
+    writer = stream_df.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

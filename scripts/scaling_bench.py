@@ -57,19 +57,16 @@ def run_level(cores: int, n_docs: int, n_queries: int = 40) -> dict:
     build_sec = time.time() - t0
 
     reader = IndexReader(spark, idx)
-    qs = reference_queryset(make_vocab(), n_conj=n_queries // 2, n_disj=n_queries // 2,
+    qs = reference_queryset(make_vocab(), n_conj=n_queries, n_disj=n_queries,
                             n_lang=0, n_ts=0)
-    reader.search(SearchRequest(query=qs[0]["query"], mode=qs[0]["mode"], k=10))  # warm cache
-    # throughput = concurrent query stream (a cluster serves parallel
-    # requests; Spark's scheduler multiplexes the jobs)
-    from concurrent.futures import ThreadPoolExecutor
-
+    reqs = [SearchRequest(query=q["query"], mode=q["mode"], k=10, facets=("lang",))
+            for q in qs]
+    reader.search_many(reqs[:2])  # warm postings cache
+    # throughput = batch retrieval (one job scores the whole query set
+    # — the bulk-evaluation pattern; per-query results identical to
+    # search(), see test_search_many)
     t0 = time.time()
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        list(ex.map(
-            lambda q: reader.search(SearchRequest(query=q["query"], mode=q["mode"], k=10)),
-            qs,
-        ))
+    reader.search_many(reqs)
     query_sec = time.time() - t0
     spark.stop()
     return {

@@ -1,0 +1,84 @@
+"""Physical-plan audits: the optimizations we rely on at 100 TB must
+actually appear in the plans (predicate pushdown to parquet, partial
+hash aggregation, JVM-only expressions for the SQL-expression
+operators, broadcast joins for small dimensions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bobo_spark import simsearch, textops
+from bobo_spark.build import BuildConfig, build_snapshot
+from bobo_spark.query import IndexReader
+from bobo_spark.webgen import webpages
+
+
+@pytest.fixture(scope="module")
+def reader(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_plan"))
+    build_snapshot(spark, webpages(spark, 800, 4), d, BuildConfig(docs_per_segment=200))
+    return IndexReader(spark, d, cache=False)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_postings_term_filter_pushed(reader):
+    """Query-term block reads must push term_id IN (...) into the
+    parquet scan (row-group pruning ≙ Lucene TermsEnum seek)."""
+    blocks = reader._postings.where(F.col("term_id").isin([3, 7]))
+    plan = blocks._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters" in plan and "term_id" in plan, plan
+
+
+def test_facet_count_partial_agg(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(docs.groupBy("lang").count())
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_textops_no_python_udf(spark, sf_dir):
+    """Dedup/fingerprint/text-analysis operators must stay JVM-side —
+    no PythonUDF/ArrowEval nodes in their plans."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (
+        textops.exact_dedup(docs),
+        textops.minhash_signatures(docs, k=8),
+        textops.simhash64(docs),
+        textops.fingerprints(docs),
+        textops.token_counts(docs),
+        textops.quality_scores(docs),
+        textops.langid(docs),
+    ):
+        plan = _plan(df)
+        assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan[:500]
+
+
+def test_simsearch_no_python_udf(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = simsearch.cosine_topk(emb, [0.1] * 64, k=5)
+    plan = _plan(df)
+    assert "PythonUDF" not in plan, plan[:500]
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, not global sort
+
+
+def test_selection_filter_pushdown(spark, sf_dir):
+    """Browse selections are plain predicates — Catalyst must push
+    them into the parquet scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hits = docs.where(F.col("lang") == "en").groupBy("source").count()
+    plan = hits._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan, plan[:800]
+
+
+def test_small_dim_broadcast(spark, sf_dir):
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    assert "BroadcastHashJoin" in _plan(j)

@@ -1,0 +1,42 @@
+"""search_many (batch query execution) must return results identical
+to per-query search() across the reference query set."""
+
+from __future__ import annotations
+
+import pytest
+
+from bobo_spark.build import BuildConfig, build_snapshot
+from bobo_spark.oracle import reference_queryset
+from bobo_spark.query import IndexReader, SearchRequest
+from bobo_spark.webgen import make_vocab, webpages
+
+
+@pytest.fixture(scope="module")
+def reader(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_many"))
+    build_snapshot(spark, webpages(spark, 1200, 6), d,
+                   BuildConfig(docs_per_segment=200, block_size=64))
+    return IndexReader(spark, d)
+
+
+def test_batch_equals_single(reader):
+    qs = reference_queryset(make_vocab(), n_conj=6, n_disj=6, n_lang=4, n_ts=4)
+    reqs = [
+        SearchRequest(query=q["query"], mode=q.get("mode", "and"), k=10,
+                      facets=("lang",), selections=q.get("selections", {}),
+                      ts_range=q.get("ts_range"))
+        for q in qs
+    ]
+    reqs.append(SearchRequest(query=["zzznothing"], mode="and", k=5))  # unrunnable
+    reqs.append(SearchRequest(query=["zzznothing", "ba"], mode="or", k=5))
+    batch = reader.search_many(reqs)
+    assert len(batch) == len(reqs)
+    for req, got in zip(reqs, batch):
+        single = reader.search(req)
+        assert got.hits["doc_id"].tolist() == single.hits["doc_id"].tolist()
+        assert got.hits["score"].tolist() == single.hits["score"].tolist()
+        assert got.num_hits == single.num_hits
+        for f in req.facets:
+            a = dict(zip(got.facets[f]["value"], got.facets[f]["count"]))
+            b = dict(zip(single.facets[f]["value"], single.facets[f]["count"]))
+            assert a == b
