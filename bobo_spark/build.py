@@ -11,7 +11,10 @@ the north rule's "resumable from Iceberg snapshot checkpoints"):
    existing forward/posting data stays valid.
 2. ``pairs``    — Arrow-vectorized tokenize → (doc_id, term, tf,
    doclen, lang_ord, ts_ord, segment). No shuffle: term counting is
-   per-batch pandas group counting.
+   per-batch pandas group counting. Facet values also emit sentinel
+   pairs ("\\x00field:ord", tf=1) so selective selections get an
+   inverted access path (≙ AdaptiveFacetFilter); sentinels are
+   excluded from corpus token statistics.
 3. ``terms``    — global term dictionary (df, cf) + dense ``term_id``
    assigned by distributed two-pass sorted rank (lexicographic on
    first build; new terms append after parent max id → old postings
@@ -73,6 +76,19 @@ class BuildConfig:
 
 def _segment_col(cfg: BuildConfig):
     return (F.col("doc_id") / F.lit(cfg.docs_per_segment)).cast("long").alias("segment")
+
+
+def pack_meta(tf: np.ndarray, dl: np.ndarray, lang: np.ndarray, ts: np.ndarray) -> np.ndarray:
+    """tf<<40 | dl<<24 | lang<<16 | ts (tf<2^23, dl<2^16, lang<2^8, ts<2^16)."""
+    return (tf << 40) | (dl << 24) | (lang << 16) | ts
+
+
+def unpack_meta(packed: np.ndarray):
+    tf = packed >> 40
+    dl = (packed >> 24) & 0xFFFF
+    lang = (packed >> 16) & 0xFF
+    ts = packed & 0xFFFF
+    return tf, dl, lang, ts
 
 
 # ---------------------------------------------------------------- stage: docs
@@ -203,10 +219,7 @@ def _encode_partition(batches, block_size: int):
     seg = pdf["segment"].to_numpy(np.int64)
     tid = pdf["term_id"].to_numpy(np.int64)
     doc = pdf["doc_id"].to_numpy(np.int64)
-    tf = pdf["tf"].to_numpy(np.int64)
-    dl = pdf["doclen"].to_numpy(np.int64)
-    lo = pdf["lang_ord"].to_numpy(np.int64)
-    to = pdf["ts_ord"].to_numpy(np.int64)
+    tf, dl, lo, to = unpack_meta(pdf["packed"].to_numpy(np.int64))
     n = len(pdf)
     # (segment, term) run boundaries, then block tiling — all vectorized
     boundary = np.flatnonzero((np.diff(seg) != 0) | (np.diff(tid) != 0))
@@ -326,6 +339,9 @@ def build_snapshot(
     docs_t = spark.read.parquet(docs_path)
 
     # ---- stage: pairs ----------------------------------------------------
+    # (tf, doclen, lang_ord, ts_ord) are bit-packed into ONE long
+    # (tf<<40 | dl<<24 | lang<<16 | ts) — halves the bytes moved
+    # through the posting shuffle, the build's dominant memory/IO cost.
     pairs_path = cat.table_path("_pairs", sid)
     if "pairs" not in snap.stages:
         def to_pairs(batches):
@@ -335,22 +351,48 @@ def build_snapshot(
                 tf = term_freq_frame(pdf["doc_id"].to_numpy(np.int64), pdf["text"])
                 side = pdf[["doc_id", "lang_ord", "ts_ord", "segment"]].set_index("doc_id")
                 tf = tf.join(side, on="doc_id")
-                yield tf
+                packed = pack_meta(tf["tf"].to_numpy(np.int64),
+                                   tf["doclen"].to_numpy(np.int64),
+                                   tf["lang_ord"].to_numpy(np.int64),
+                                   tf["ts_ord"].to_numpy(np.int64))
+                out = pd.DataFrame({
+                    "doc_id": tf["doc_id"],
+                    "term": tf["term"],
+                    "packed": packed,
+                    "segment": tf["segment"],
+                })
+                # facet-value sentinel postings ("\x00field:ord", tf=1):
+                # give selective facet selections an inverted access
+                # path (≙ AdaptiveFacetFilter's OR-of-TermDocIdSet,
+                # facets/filter/AdaptiveFacetFilter.java:56-90).
+                # '\x00' cannot collide with [a-z0-9]+ text tokens.
+                n = len(pdf)
+                sent_packed = pack_meta(
+                    np.ones(n, dtype=np.int64), np.zeros(n, dtype=np.int64),
+                    pdf["lang_ord"].to_numpy(np.int64), pdf["ts_ord"].to_numpy(np.int64))
+                sent = pd.concat([
+                    pd.DataFrame({
+                        "doc_id": pdf["doc_id"],
+                        "term": ("\x00" + fld + ":") + pdf[col].astype(str),
+                        "packed": sent_packed,
+                        "segment": pdf["segment"],
+                    })
+                    for fld, col in (("lang", "lang_ord"), ("ts", "ts_ord"))
+                ], ignore_index=True)
+                yield pd.concat([out, sent], ignore_index=True)
 
-        pairs_schema = (
-            "doc_id long, term string, tf long, doclen long, "
-            "lang_ord long, ts_ord long, segment long"
-        )
+        pairs_schema = "doc_id long, term string, packed long, segment long"
         docs_t.mapInPandas(to_pairs, schema=pairs_schema).write.mode("overwrite").parquet(pairs_path)
         cat.mark_stage(snap, "pairs")
 
     pairs = spark.read.parquet(pairs_path)
+    TF = F.shiftright("packed", 40)
 
     # ---- stage: terms ----------------------------------------------------
     terms_path = cat.table_path("terms", sid)
     if "terms" not in snap.stages:
         delta_terms = pairs.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf")
+            F.count("*").alias("df"), F.sum(TF).alias("cf")
         )
         if parent is not None:
             old = spark.read.parquet(*cat.table_paths(parent, "terms"))
@@ -382,8 +424,12 @@ def build_snapshot(
             F.sum(F.length("text")).alias("bytes"),
         ).collect()[0]
         # corpus token count = Σ cf over the (merged) term dictionary —
-        # a scan of the small terms table, not of the pairs
-        tok_sum = terms.agg(F.sum("cf")).collect()[0][0] or 0
+        # a scan of the small terms table, not of the pairs. Facet
+        # sentinel terms ('\x00...') are NOT text tokens: exclude.
+        tok_sum = (
+            terms.where(~F.col("term").startswith("\x00"))
+            .agg(F.sum("cf")).collect()[0][0] or 0
+        )
         n_docs = agg["n"] + (parent.stats["n_docs"] if parent else 0)
         snap.stats.update(
             {
@@ -411,7 +457,7 @@ def build_snapshot(
         if n_terms <= cfg.broadcast_terms_threshold:
             tmap = F.broadcast(tmap)
         enriched = pairs.join(tmap, "term").select(
-            "segment", "term_id", "doc_id", "tf", "doclen", "lang_ord", "ts_ord"
+            "segment", "term_id", "doc_id", "packed"
         )
         (
             enriched.repartitionByRange(n_parts, "segment", "term_id", "doc_id")
@@ -425,7 +471,10 @@ def build_snapshot(
     # ---- stage: forward --------------------------------------------------
     forward_path = cat.table_path("forward", sid)
     if "forward" not in snap.stages:
-        dl_df = pairs.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
+        dl_df = (
+            pairs.where(~F.col("term").startswith("\x00"))
+            .groupBy("doc_id").agg(F.sum(TF).alias("doclen"))
+        )
         (
             docs_t.join(dl_df, "doc_id", "left")
             .select(

@@ -118,14 +118,29 @@ def _decode_term_blocks(b: pd.DataFrame):
     return docs, tf, dl, lang, ts
 
 
-def _selection_mask(lang, ts, sel_lang: np.ndarray | None, sel_ts: np.ndarray | None):
-    m = None
-    if sel_lang is not None:
-        m = np.isin(lang, sel_lang)
-    if sel_ts is not None:
-        m2 = np.isin(ts, sel_ts)
-        m = m2 if m is None else (m & m2)
-    return m
+def _and_masks(*masks):
+    out = None
+    for m in masks:
+        if m is None:
+            continue
+        out = m if out is None else (out & m)
+    return out
+
+
+def _postings_doc_mask(cand: np.ndarray, groups: dict, tids: list[int]) -> np.ndarray:
+    """Inverted access path for a selection: membership of candidates
+    in the union of the facet-value posting lists (sorted-array
+    intersection, ≙ OR of TermDocIdSets)."""
+    doc_lists = []
+    for tid in tids:
+        g = groups.get(tid)
+        if g is not None and len(g):
+            doc_lists.append(_decode_term_blocks(g)[0])
+    if not doc_lists:
+        return np.zeros(cand.size, dtype=bool)
+    allowed = np.unique(np.concatenate(doc_lists))
+    pos = np.searchsorted(allowed, cand)
+    return (pos < allowed.size) & (allowed[np.minimum(pos, allowed.size - 1)] == cand)
 
 
 def _block_bound(g: pd.DataFrame, idf_t: float, avgdl: float) -> np.ndarray:
@@ -233,8 +248,11 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
     else:
         cand = np.unique(np.concatenate([decoded[t["term_id"]][0] for t in present]))
 
-    # ---- selection mask (needs per-doc ordinals: take from any covering term)
-    need_ords = (sel_lang is not None) or (sel_ts is not None) or plan["facets"]
+    # ---- per-doc ordinals (needed for facet counts / ord-mode selections)
+    lang_postings = plan.get("sel_lang_mode") == "postings"
+    ts_postings = plan.get("sel_ts_mode") == "postings"
+    need_ords = bool(plan["facets"]) or (sel_lang is not None and not lang_postings) \
+        or (sel_ts is not None and not ts_postings)
     doc_lang = doc_ts = None
     if need_ords:
         doc_lang = np.zeros(cand.size, dtype=np.int64)
@@ -249,13 +267,20 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
             doc_lang[pos[new]] = lang[new]
             doc_ts[pos[new]] = ts[new]
             seen[pos[new]] = True
-        m = _selection_mask(doc_lang, doc_ts, sel_lang, sel_ts)
-        if m is not None:
-            # Bobo pre-filters: failing docs leave the hit set entirely
-            # (multi-select handled below by leave-one-out recounts)
-            pass
-    else:
-        m = None
+
+    # ---- per-field selection masks: adaptive inverted-vs-forward path
+    lang_mask = ts_mask = None
+    if sel_lang is not None:
+        lang_mask = (
+            _postings_doc_mask(cand, groups, plan["sel_lang_tids"])
+            if lang_postings else np.isin(doc_lang, sel_lang)
+        )
+    if sel_ts is not None:
+        ts_mask = (
+            _postings_doc_mask(cand, groups, plan["sel_ts_tids"])
+            if ts_postings else np.isin(doc_ts, sel_ts)
+        )
+    m = _and_masks(lang_mask, ts_mask)
 
     # ---- exact TAAT scoring, ascending lexicographic term order
     scores = np.zeros(cand.size, dtype=np.float64)
@@ -271,11 +296,9 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
     for f in plan["facets"]:
         ords = doc_lang if f == "lang" else doc_ts
         if plan["expand_selection"]:
-            others = _selection_mask(
-                doc_lang,
-                doc_ts,
-                None if f == "lang" else sel_lang,
-                None if f == "ts_bucket" else sel_ts,
+            others = _and_masks(
+                None if f == "lang" else lang_mask,
+                None if f == "ts_bucket" else ts_mask,
             )
             fmask = others if others is not None else np.ones(cand.size, dtype=bool)
         else:
@@ -352,6 +375,8 @@ class IndexReader:
 
     # ---------------------------------------------------------------- planning
 
+    OR_THRESHOLD = 5  # ≙ AdaptiveFacetFilter.java:98
+
     def _resolve_selections(self, req: SearchRequest):
         sel_lang = sel_ts = None
         if "lang" in req.selections:
@@ -367,6 +392,28 @@ class IndexReader:
             sel_ts = vals if sel_ts is None else sorted(set(sel_ts) & set(vals))
         return sel_lang, sel_ts
 
+    def _sentinel_lookup(self, field: str, ords: list[int]) -> pd.DataFrame:
+        names = [f"\x00{field}:{o}" for o in ords]
+        if self._terms_pd is not None:
+            return self._terms_pd[self._terms_pd["term"].isin(names)]
+        return (
+            self._terms.where(F.col("term").isin(names))
+            .select("term", "term_id", "df").toPandas()
+        )
+
+    def _access_path(self, field: str, ords: list[int] | None):
+        """Adaptive access-path choice for one selection (≙ facets/
+        filter/AdaptiveFacetFilter.java:84-89): iterate facet-value
+        posting lists when Σdf(values)·2 < n_docs and ≤5 values, else
+        scan the per-posting ordinal stream."""
+        if ords is None:
+            return None, []
+        if 0 < len(ords) <= self.OR_THRESHOLD:
+            found = self._sentinel_lookup(field, ords)
+            if len(found) == len(ords) and 2 * found["df"].sum() < self.n_docs:
+                return "postings", found["term_id"].astype("int64").tolist()
+        return "ords", []
+
     def plan(self, req: SearchRequest) -> dict:
         qtokens = tokenize(req.query) if isinstance(req.query, str) else [
             t for q in req.query for t in tokenize(q)
@@ -381,6 +428,8 @@ class IndexReader:
             )
         plan_terms = _plan_terms(terms_pd, qtokens, self.n_docs)
         sel_lang, sel_ts = self._resolve_selections(req)
+        lang_mode, lang_tids = self._access_path("lang", sel_lang)
+        ts_mode, ts_tids = self._access_path("ts", sel_ts)
         return {
             "terms": plan_terms,
             "mode": req.mode,
@@ -390,6 +439,10 @@ class IndexReader:
             "facets": list(req.facets),
             "sel_lang": sel_lang,
             "sel_ts": sel_ts,
+            "sel_lang_mode": lang_mode,
+            "sel_ts_mode": ts_mode,
+            "sel_lang_tids": lang_tids,
+            "sel_ts_tids": ts_tids,
             "expand_selection": req.expand_selection,
             "prune": req.prune,
         }
@@ -400,6 +453,7 @@ class IndexReader:
         tids = [t["term_id"] for t in plan["terms"] if t["term_id"] >= 0]
         if not tids or (plan["mode"] == "and" and len(tids) < len(plan["terms"])):
             return self.spark.createDataFrame([], OUT_SCHEMA)
+        tids = tids + plan.get("sel_lang_tids", []) + plan.get("sel_ts_tids", [])
         blocks = self._postings.where(F.col("term_id").isin(tids))
         return blocks.groupBy("segment").applyInPandas(
             lambda pdf: _segment_search(pdf, plan), schema=OUT_SCHEMA
@@ -444,9 +498,11 @@ class IndexReader:
         plans = [self.plan(r) for r in reqs]
         for p in plans:
             p["prune"] = False  # batch mode: exact scoring, shared scans
-        all_tids = sorted({
-            t["term_id"] for p in plans for t in p["terms"] if t["term_id"] >= 0
-        })
+        all_tids = sorted(
+            {t["term_id"] for p in plans for t in p["terms"] if t["term_id"] >= 0}
+            | {tid for p in plans
+               for tid in p.get("sel_lang_tids", []) + p.get("sel_ts_tids", [])}
+        )
         runnable = [
             i for i, p in enumerate(plans)
             if [t for t in p["terms"] if t["term_id"] >= 0]
@@ -462,6 +518,7 @@ class IndexReader:
                 outs = []
                 for qid, plan in runnable_plans:
                     tids = [t["term_id"] for t in plan["terms"] if t["term_id"] >= 0]
+                    tids += plan.get("sel_lang_tids", []) + plan.get("sel_ts_tids", [])
                     sub = pdf[pdf["term_id"].isin(tids)]
                     if len(sub):
                         o = _segment_search(sub, plan)

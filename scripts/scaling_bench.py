@@ -82,14 +82,24 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else n_lo * 4
-    lo = run_level(n_lo, n_docs)
-    hi = run_level(n_hi, n_docs)
-    eff_build = (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / 4
-    eff_query = (hi["queries_per_sec"] / lo["queries_per_sec"]) / 4
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    # the sandbox has ±2x wall-clock noise windows (hypervisor):
+    # interleave repeats and take best-of per level
+    lo_runs, hi_runs = [], []
+    for _ in range(repeats):
+        lo_runs.append(run_level(n_lo, n_docs))
+        hi_runs.append(run_level(n_hi, n_docs))
+    lo = min(lo_runs, key=lambda r: r["build_sec"])
+    hi = min(hi_runs, key=lambda r: r["build_sec"])
+    lo["queries_per_sec"] = max(r["queries_per_sec"] for r in lo_runs)
+    hi["queries_per_sec"] = max(r["queries_per_sec"] for r in hi_runs)
+    eff_build = (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / (n_hi / n_lo)
+    eff_query = (hi["queries_per_sec"] / lo["queries_per_sec"]) / (n_hi / n_lo)
     print(json.dumps({
         "n_docs": n_docs,
-        "local8": lo,
-        "local32": hi,
+        f"local{n_lo}": lo,
+        f"local{n_hi}": hi,
+        "all_runs": {"lo": lo_runs, "hi": hi_runs},
         "scaling_efficiency_build": round(eff_build, 3),
         "scaling_efficiency_query": round(eff_query, 3),
     }, indent=1))
