@@ -10,10 +10,12 @@ window ``row_number()``.
 """
 
 from .spec import (
+    BooleanFacetQuery,
     BrowseFacet,
     BrowseRequest,
     BrowseResult,
     BrowseSelection,
+    FacetBoostQuery,
     FacetSpec,
     FacetTermQuery,
     SortField,
@@ -44,6 +46,8 @@ from .browse import BoboBrowser
 __all__ = [
     "AttributesFacetHandler",
     "BoboBrowser",
+    "BooleanFacetQuery",
+    "FacetBoostQuery",
     "BrowseFacet",
     "DynamicTimeRangeFacetHandler",
     "BrowseRequest",

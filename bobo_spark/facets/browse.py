@@ -25,7 +25,14 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from .handlers import CompactMultiValueFacetHandler, FacetHandler, _combine_and
-from .spec import BrowseFacet, BrowseRequest, BrowseResult, FacetTermQuery
+from .spec import (
+    BooleanFacetQuery,
+    BrowseFacet,
+    BrowseRequest,
+    BrowseResult,
+    FacetBoostQuery,
+    FacetTermQuery,
+)
 
 
 class BoboBrowser:
@@ -50,16 +57,42 @@ class BoboBrowser:
             preds[sel.field] = preds[sel.field] & p if sel.field in preds else p
         return preds
 
-    def _query_pred_score(self, req: BrowseRequest):
-        if req.query is None:
-            return None, None
-        q: FacetTermQuery = req.query
+    def _facet_term_ps(self, q: FacetTermQuery):
         h = self.handlers[q.selection.field]
         pred = h.predicate(self.df, q.selection)
         score = F.lit(0.0)
         for v, b in sorted(q.boosts.items()):
             score = score + F.when(h.value_predicate(self.df, v), F.lit(float(b))).otherwise(0.0)
-        return pred, score
+        return pred, score * F.lit(float(q.boost))
+
+    def _query_pred_score(self, req: BrowseRequest):
+        q = req.query
+        if q is None:
+            return None, None
+        if isinstance(q, FacetTermQuery):
+            return self._facet_term_ps(q)
+        if isinstance(q, BooleanFacetQuery):
+            parts = [self._facet_term_ps(c) for c in q.clauses]
+            pred = parts[0][0]
+            for p, _ in parts[1:]:
+                pred = pred | p
+            score = sum((s for _, s in parts), F.lit(0.0))
+            if not q.disable_coord:  # Lucene-4 coord: matched/total clauses
+                matched = sum(
+                    (F.when(p, 1).otherwise(0) for p, _ in parts), F.lit(0)
+                )
+                score = score * matched / F.lit(float(len(parts)))
+            return pred, score
+        if isinstance(q, FacetBoostQuery):  # MatchAll × multiplicative boosts
+            score = F.lit(1.0)
+            for fld in sorted(q.boost_maps):
+                h = self.handlers[fld]
+                for v, b in sorted(q.boost_maps[fld].items()):
+                    score = score * F.when(
+                        h.value_predicate(self.df, v), F.lit(float(b))
+                    ).otherwise(1.0)
+            return F.lit(True), score
+        raise TypeError(f"unsupported query type: {type(q)}")
 
     def hits_frame(self, req: BrowseRequest) -> DataFrame:
         """The full (unpaged) hit set as a DataFrame — the scale API."""

@@ -46,10 +46,33 @@ class SortField:
 @dataclass
 class FacetTermQuery:
     """Query whose matches = a facet selection; score = sum of
-    per-value boosts over the doc's matching values."""
+    per-value boosts over the doc's matching values, times the query
+    boost (≙ query/scoring/FacetTermQuery.java:29,37-47 +
+    DefaultFacetTermScoringFunction sum-collect)."""
 
     selection: BrowseSelection
     boosts: dict = field(default_factory=dict)  # value -> float
+    boost: float = 1.0
+
+
+@dataclass
+class BooleanFacetQuery:
+    """SHOULD-combination of FacetTermQueries (≙ Lucene BooleanQuery
+    over FacetTermQuery clauses): matches = union, score = Σ clause
+    scores × (matched/total clauses) unless ``disable_coord``
+    (Lucene 4 coord factor, BoboTestCase.testFacetQueryBoost)."""
+
+    clauses: list = field(default_factory=list)
+    disable_coord: bool = False
+
+
+@dataclass
+class FacetBoostQuery:
+    """MatchAll adjusted by multiplicative per-facet-value boosts
+    (≙ query/ScoreAdjusterQuery.java + FacetBasedBoostScorerBuilder +
+    MultiplicativeFacetTermScoringFunction)."""
+
+    boost_maps: dict = field(default_factory=dict)  # field -> {value -> boost}
 
 
 @dataclass
@@ -59,7 +82,7 @@ class BrowseRequest:
     sort: list = field(default_factory=list)  # [SortField]
     offset: int = 0
     count: int = 10
-    query: FacetTermQuery | None = None
+    query: object | None = None  # FacetTermQuery | BooleanFacetQuery | FacetBoostQuery
     group_by: str | None = None
     max_per_group: int = 1
 
