@@ -335,14 +335,19 @@ class PathFacetHandler(FacetHandler):
             src = ex.select(F.col("_p").alias("_path"))
         else:
             src = hits.select(c.alias("_path"))
-        rolled = src.select(
-            F.substring_index(F.col("_path"), self.sep, target).alias("value")
-        )
+        # paths with a LEADING separator ("/a/b/c") have an empty first
+        # split part — keep one extra part so the prefix is "/a", not ""
+        p = F.col("_path")
+        prefix = F.when(
+            p.startswith(self.sep),
+            F.substring_index(p, self.sep, target + 1),
+        ).otherwise(F.substring_index(p, self.sep, target))
+        rolled = src.select(prefix.alias("value"))
         if sel is not None and sel.strict:
             # strict: only strictly-deeper paths count toward a node
             rolled = src.where(
-                F.size(F.split(F.col("_path"), re.escape(self.sep))) > target
-            ).select(F.substring_index(F.col("_path"), self.sep, target).alias("value"))
+                F.size(F.split(p, re.escape(self.sep))) > target
+            ).select(prefix.alias("value"))
         return rolled.groupBy("value").agg(F.count("*").alias("count"))
 
 

@@ -154,3 +154,19 @@ def test_time_multi_selection(time_browser):  # :2832-2852
     assert got["003000000"] == 3
     assert got["004000000"] == 0
     assert res.num_hits == 23
+
+
+# ------------------------------------------------------- multi-valued path
+
+def test_multival_path(spark):  # test/TestPathMultiVal.java:43-72
+    from bobo_spark.facets import PathFacetHandler
+
+    df = spark.createDataFrame([(0, ["/a/b/c", "/a/b/d"])],
+                               "id long, path array<string>")
+    b = BoboBrowser(df, [PathFacetHandler("path", multi=True)], doc_col="id")
+    req = BrowseRequest(count=10)
+    req.add_selection(BrowseSelection("path", values=["/a"], depth=0, strict=False))
+    req.set_facet_spec("path", FacetSpec(min_hits=1))
+    res = b.browse(req)
+    assert res.num_hits == 1
+    assert res.facets("path") == [("/a", 2)]
