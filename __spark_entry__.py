@@ -294,9 +294,13 @@ def _q_dedup_minhash(spark, sf_dir):
 
 
 def _q_minhash_sigs(spark, sf_dir):
+    # signature stringified (comma-joined) so the driver's canonicalizer
+    # can sort the frame — array columns are unhashable in pandas.
     docs = _load(spark, sf_dir, "documents")
     return textops.minhash_signatures(docs, n=3, k=8).select(
-        "doc_id", F.col("minhash").cast("array<long>").alias("minhash"))
+        "doc_id",
+        F.concat_ws(",", F.transform("minhash", lambda x: x.cast("string")))
+        .alias("minhash"))
 
 
 def _q_simhash(spark, sf_dir):
@@ -339,10 +343,17 @@ def _q_simsearch_lsh(spark, sf_dir):
 
 
 def _q_multimodal(spark, sf_dir):
+    # feature vector quantized to ints and comma-joined (driver
+    # canonicalizer can't sort array columns).
     docs = _load(spark, sf_dir, "documents")
     media = multimodal.attach_media(
         docs.withColumn("payload", F.encode("text", "utf-8")), "payload", "text")
-    return multimodal.extract_features(media, fake=True)
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select(
+        "doc_id", "media_type", "n_bytes",
+        F.concat_ws(",", F.transform(
+            "feature", lambda x: F.round(x * 10000).cast("long").cast("string")))
+        .alias("feature_q"))
 
 
 def _q_filtered_range(spark, sf_dir):
@@ -444,6 +455,32 @@ _SHINGLE5 = (
     "i -> array_to_string(list_slice(regexp_extract_all(lower(text),'[a-z0-9]+'), i, i + 4), ' ')) "
     "ELSE [array_to_string(regexp_extract_all(lower(text),'[a-z0-9]+'), ' ')] END"
 )
+
+
+def _lsh_topk_sql(dim: int, n_planes: int, k: int) -> str:
+    """Exact oracle for lsh_topk: the hyperplanes are deterministic
+    (seeded counter hash), so the bucket of every vector — and the
+    query vector's bucket — is computable in plain SQL."""
+    from bobo_spark.simsearch import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+    arrs = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arrs[i]}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket
+           FROM embeddings),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4)
+         AS cosine
+FROM b, q WHERE b.bucket = q.qb
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
 
 
 def _minhash_sql_sig(k: int) -> str:
@@ -554,7 +591,30 @@ WITH h AS (SELECT doc_id,
   list_transform({_SHINGLE3},
     s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {textops.MERSENNE31}) AS hs
   FROM documents)
-SELECT doc_id, {_minhash_sql_sig(8)} AS minhash FROM h
+SELECT doc_id,
+       array_to_string(list_transform({_minhash_sql_sig(8)}, x -> x::VARCHAR), ',')
+         AS minhash
+FROM h
+""",
+        "dedup_minhash_lsh": f"""
+WITH h AS (SELECT doc_id,
+  list_transform({_SHINGLE3},
+    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {textops.MERSENNE31}) AS hs
+  FROM documents),
+sig AS (SELECT doc_id, {_minhash_sql_sig(16)} AS sig FROM h),
+banded AS (SELECT doc_id, sig, band,
+  md5(array_to_string(list_transform(list_slice(sig, band * 4 + 1, band * 4 + 4),
+                                     x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band)),
+pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                 x.sig AS sig_a, y.sig AS sig_b
+  FROM banded x JOIN banded y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id)
+SELECT id_a, id_b,
+       round(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0, 4)
+         AS est_jaccard
+FROM pairs
+WHERE len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0 >= 0.2
 """,
         "simhash64": f"""
 WITH h AS (SELECT doc_id,
@@ -629,10 +689,11 @@ WHERE a.vec_id < b.vec_id
          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.5
 """,
         "multimodal_features": """
-SELECT doc_id, 'text' AS media_type, length(text)::BIGINT AS n_bytes,
-       list_transform(range(0, 8),
-         i -> round((('0x' || substr(md5(text), i * 2 + 1, 2))::INT) / 255.0, 4))
-         AS feature
+SELECT doc_id, 'text' AS media_type, octet_length(encode(text))::BIGINT AS n_bytes,
+       array_to_string(list_transform(range(0, 8),
+         i -> round(round((('0x' || substr(md5(text), i * 2 + 1, 2))::INT) / 255.0, 4)
+                    * 10000)::BIGINT::VARCHAR), ',')
+         AS feature_q
 FROM documents
 """,
         "sessionize_events": """
@@ -673,9 +734,8 @@ SELECT '[7 TO *]',
        (SELECT count(*) FROM hits WHERE len(list_filter(lens, x -> x >= 7)) > 0)
 """,
         "map_reduce_hook": """
-SELECT count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents WHERE lang = 'en'
 """,
-        # dedup_minhash_lsh, simsearch_lsh_topk: approximate candidate
-        # generation — rows-only check by design.
+        "simsearch_lsh_topk": _lsh_topk_sql(dim=64, n_planes=6, k=10),
     }
