@@ -79,7 +79,24 @@ def _segment_col(cfg: BuildConfig):
 
 
 def pack_meta(tf: np.ndarray, dl: np.ndarray, lang: np.ndarray, ts: np.ndarray) -> np.ndarray:
-    """tf<<40 | dl<<24 | lang<<16 | ts (tf<2^23, dl<2^16, lang<2^8, ts<2^16)."""
+    """tf<<40 | dl<<24 | lang<<16 | ts (tf<2^23, dl<2^16, lang<2^8, ts<2^16).
+
+    doclen is CLAMPED at 65535 — BM25 length normalization saturates
+    there (Lucene's 1-byte norms are far lossier), so a >64k-token web
+    page scores as a 64k-token one instead of corrupting the packed
+    word. tf / lang / ts overflow RAISES: silent wraparound would
+    corrupt adjacent fields and miscount facets.
+    """
+    if tf.size:
+        if int(tf.max()) >= 1 << 23:
+            raise ValueError(f"tf {int(tf.max())} overflows the 23-bit field")
+        if int(lang.max()) > 0xFF:
+            raise ValueError(
+                f"lang ordinal {int(lang.max())} overflows the 8-bit field (>255 languages)")
+        if int(ts.max()) > 0xFFFF:
+            raise ValueError(
+                f"ts ordinal {int(ts.max())} overflows the 16-bit field (>65535 time buckets)")
+    dl = np.minimum(dl, 0xFFFF)
     return (tf << 40) | (dl << 24) | (lang << 16) | ts
 
 
@@ -279,12 +296,17 @@ def build_snapshot(
     index_dir: str,
     cfg: BuildConfig | None = None,
     resume: bool = True,
+    extra_stats: dict | None = None,
 ) -> Snapshot:
     """Build (or resume building) one index snapshot from a docs frame.
 
     ``docs`` must have columns (doc_id long, url string, warc_ts
     timestamp, lang string) and either ``text`` or ``html``; doc_ids
     must be new (greater than any previous snapshot's).
+
+    ``extra_stats`` (e.g. a stream batch id) is stamped on the snapshot
+    stats in the SAME manifest write that publishes it, so dedup
+    markers and the publish commit are atomic.
     """
     cfg = cfg or BuildConfig()
     cat = IndexCatalog(index_dir)
@@ -518,6 +540,7 @@ def build_snapshot(
 
     # ---- publish ----------------------------------------------------------
     if "published" not in snap.stages:
+        snap.stats.update(extra_stats or {})
         snap.stats["n_terms"] = terms.count()
         snap.stats["n_segments"] = int(
             spark.read.parquet(meta_path).count()

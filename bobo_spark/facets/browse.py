@@ -41,6 +41,7 @@ class BoboBrowser:
         self.df = df
         self.handlers = {h.name: h for h in handlers}
         self.doc_col = doc_col
+        self._total_docs: int | None = None  # corpus size, counted once
         # natural doc order (Lucene docID): default = doc_col ascending
         self.doc_order = doc_order if doc_order is not None else F.col(doc_col)
         for h in self.handlers.values():
@@ -156,14 +157,18 @@ class BoboBrowser:
 
     def hits_page_df(self, req: BrowseRequest) -> DataFrame:
         """The requested hit page as a DataFrame with a ``_rank``
-        column (1-based global rank)."""
+        column (1-based global rank).
+
+        Distributed top-(offset+count) first (TakeOrderedAndProject —
+        per-partition heaps + driver merge), THEN the rank window: the
+        single-partition exchange the window needs carries at most
+        ``offset + count`` rows, never the full hit set."""
         _, score = self._query_pred_score(req)
         base = self.hits_frame(req)
-        w = Window.orderBy(*self._sort_cols(req, score is not None))
-        ranked = base.withColumn("_rank", F.row_number().over(w))
-        return ranked.where(
-            (F.col("_rank") > req.offset) & (F.col("_rank") <= req.offset + req.count)
-        )
+        cols = self._sort_cols(req, score is not None)
+        top = base.orderBy(*cols).limit(req.offset + req.count)
+        ranked = top.withColumn("_rank", F.row_number().over(Window.orderBy(*cols)))
+        return ranked.where(F.col("_rank") > req.offset)
 
     def browse(self, req: BrowseRequest) -> BrowseResult:
         preds = self._selection_preds(req)
@@ -175,7 +180,9 @@ class BoboBrowser:
         base = base.persist()
         try:
             num_hits = base.count()
-            total_docs = self.df.count()
+            if self._total_docs is None:  # once per browser, not per request
+                self._total_docs = self.df.count()
+            total_docs = self._total_docs
 
             facet_map = {}
             for fld in req.facet_specs:

@@ -344,10 +344,13 @@ class PathFacetHandler(FacetHandler):
         ).otherwise(F.substring_index(p, self.sep, target))
         rolled = src.select(prefix.alias("value"))
         if sel is not None and sel.strict:
-            # strict: only strictly-deeper paths count toward a node
-            rolled = src.where(
-                F.size(F.split(p, re.escape(self.sep))) > target
-            ).select(prefix.alias("value"))
+            # strict: drop hits shallower than the rollup level, so only
+            # target-level nodes appear (≙ PathFacetCountCollector's
+            # strict merge, which never emits shallower-than-wantedDepth
+            # nodes). Depth = NON-EMPTY parts (_nlevels) — the reference
+            # splitString strips empty parts, so '/a/b', 'a/b' and
+            # 'a/b/' all have depth 2 (PathFacetCountCollector.java:126-173).
+            rolled = src.where(self._nlevels(p) >= target).select(prefix.alias("value"))
         return rolled.groupBy("value").agg(F.count("*").alias("count"))
 
 

@@ -92,14 +92,12 @@ def _plan_terms(terms_pd: pd.DataFrame, qtokens: list[str], n_docs: int) -> list
     return plan
 
 
-def _decode_term_blocks(b: pd.DataFrame):
-    """Decode all blocks of one term (sorted by first_doc) at once.
-
-    Returns (docs, tf, dl, lang, ts) int64 arrays, docs ascending.
-    Delta streams are decoded in one vectorized pass over the
-    concatenated buffers; per-block absolute first_docs are re-based
-    with a segmented cumsum.
-    """
+def _decode_docs(b: pd.DataFrame) -> np.ndarray:
+    """Decode ONLY the docID streams of a term's blocks (sorted by
+    first_doc): one vectorized pass over the concatenated delta
+    buffers, per-block absolute first_docs re-based with a segmented
+    cumsum. Used standalone for exact hit counting under block-max
+    pruning (tf/meta streams stay undecoded)."""
     nds = b["n_docs"].to_numpy(np.int64)
     firsts = b["first_doc"].to_numpy(np.int64)
     total = int(nds.sum())
@@ -110,7 +108,15 @@ def _decode_term_blocks(b: pd.DataFrame):
     mask[starts] = False
     vals[mask] = deltas_all
     cums = np.cumsum(vals)
-    docs = cums - np.repeat(cums[starts], nds) + np.repeat(firsts, nds)
+    return cums - np.repeat(cums[starts], nds) + np.repeat(firsts, nds)
+
+
+def _decode_term_blocks(b: pd.DataFrame):
+    """Decode all blocks of one term (sorted by first_doc) at once.
+
+    Returns (docs, tf, dl, lang, ts) int64 arrays, docs ascending.
+    """
+    docs = _decode_docs(b)
     tf = vb_decode(b"".join(b["tf_bytes"])).astype(np.int64)
     dl = vb_decode(b"".join(b["dl_bytes"])).astype(np.int64)
     lang = vb_decode(b"".join(b["lang_bytes"])).astype(np.int64)
@@ -223,7 +229,17 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
         mode == "or" and plan.get("prune") and not plan["facets"]
         and sel_lang is None and sel_ts is None and len(present) > 1
     )
+    n_hits_exact = None
     if pruned_mode:
+        # exact hit count BEFORE pruning: union of doc streams only
+        # (tf/meta streams of dropped blocks stay undecoded, so the
+        # pruning still pays — this fixes num_hits undercounting docs
+        # that lived only in dropped blocks)
+        doc_arrays = [_decode_docs(groups[t["term_id"]]) for t in present
+                      if len(groups[t["term_id"]])]
+        n_hits_exact = (
+            int(np.unique(np.concatenate(doc_arrays)).size) if doc_arrays else 0
+        )
         groups = _blockmax_prune(groups, present, k, avgdl)
 
     decoded = {}
@@ -309,22 +325,23 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
 
     hit_docs = cand[full_mask]
     hit_scores = scores[full_mask]
-    n_hits = int(hit_docs.size)
-    if n_hits:
-        kk = min(k, n_hits)
+    n_local = int(hit_docs.size)
+    if n_local:
+        kk = min(k, n_local)
         # top-k by (-score, doc_id). Select everything >= the kk-th
         # largest score (including ALL ties) before the exact lexsort,
         # so score ties at the boundary break by doc_id exactly.
-        if n_hits > kk:
-            kth = np.partition(hit_scores, n_hits - kk)[n_hits - kk]
+        if n_local > kk:
+            kth = np.partition(hit_scores, n_local - kk)[n_local - kk]
             part = np.flatnonzero(hit_scores >= kth)
         else:
-            part = np.arange(n_hits)
+            part = np.arange(n_local)
         order = np.lexsort((hit_docs[part], -hit_scores[part]))[:kk]
         sel = part[order]
         for d, s in zip(hit_docs[sel], hit_scores[sel]):
             out_rows.append((_K_HIT, int(d), float(s), "", -1, 0))
-    out_rows.append((_K_STATS, -1, 0.0, "", -1, n_hits))
+    out_rows.append((_K_STATS, -1, 0.0, "", -1,
+                     n_hits_exact if n_hits_exact is not None else n_local))
     return pd.DataFrame(out_rows, columns=["kind", "doc_id", "score", "field", "ordinal", "count"])
 
 

@@ -46,9 +46,12 @@ def ingest_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        snap = build_snapshot(spark, batch_df, index_dir, cfg, resume=True)
-        snap.stats["stream_batch_id"] = batch_id
-        cat.update_snapshot(snap)
+        # batch id rides in extra_stats: it lands on the manifest in the
+        # same write that publishes the snapshot, so a crash can never
+        # leave a published-but-unstamped snapshot (which a restarted
+        # stream would rebuild, duplicating the batch's doc_ids).
+        build_snapshot(spark, batch_df, index_dir, cfg, resume=True,
+                       extra_stats={"stream_batch_id": batch_id})
 
     writer = stream_df.writeStream.foreachBatch(handle).outputMode("append")
     if checkpoint_dir:

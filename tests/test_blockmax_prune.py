@@ -30,5 +30,6 @@ def test_pruned_equals_exhaustive(reader):
         b = reader.search(SearchRequest(query=q["query"], mode="or", k=10, prune=False))
         assert a.hits["doc_id"].tolist() == b.hits["doc_id"].tolist(), q
         assert a.hits["score"].tolist() == b.hits["score"].tolist(), q
+        assert a.num_hits == b.num_hits, q  # exact count survives pruning
         pruned_nonempty += len(a.hits) > 0
     assert pruned_nonempty > 5

@@ -170,3 +170,41 @@ def test_multival_path(spark):  # test/TestPathMultiVal.java:43-72
     res = b.browse(req)
     assert res.num_hits == 1
     assert res.facets("path") == [("/a", 2)]
+
+
+def test_path_strict_leading_sep(spark):
+    """Strict + leading-separator: depth is counted over NON-EMPTY
+    parts (reference splitString strips empties,
+    PathFacetCountCollector.java:126-173), so '/a/b', 'a/b', 'a/b/'
+    all sit at depth 2 and are treated identically."""
+    from bobo_spark.facets import PathFacetHandler
+
+    df = spark.createDataFrame(
+        [(0, "/a/b"), (1, "/a/b/c"), (2, "/a"), (3, "/a/x")],
+        "id long, path string")
+    b = BoboBrowser(df, [PathFacetHandler("path")], doc_col="id")
+    req = BrowseRequest(count=10)
+    req.add_selection(BrowseSelection("path", values=["/a"], depth=1, strict=True))
+    req.set_facet_spec("path", FacetSpec(min_hits=1))
+    res = b.browse(req)
+    # strict selection: docs strictly deeper than '/a' -> 0,1,3
+    assert res.num_hits == 3
+    # strict count: only target-level (depth 2) nodes; '/a/b' (exact
+    # node) and '/a/b/c' both roll to '/a/b'
+    assert res.facets("path") == [("/a/b", 2), ("/a/x", 1)]
+
+
+def test_path_strict_plain_matches_leading(spark):
+    """A doc at exactly the target depth counts the same with and
+    without a leading separator."""
+    from bobo_spark.facets import PathFacetHandler
+
+    for sel_val, paths, expect in (("a", ["a/b", "a/b/c"], "a/b"),
+                                   ("/a", ["/a/b", "/a/b/c"], "/a/b")):
+        df = spark.createDataFrame(list(enumerate(paths)), "id long, path string")
+        b = BoboBrowser(df, [PathFacetHandler("path")], doc_col="id")
+        req = BrowseRequest(count=10)
+        req.add_selection(BrowseSelection("path", values=[sel_val], depth=1, strict=True))
+        req.set_facet_spec("path", FacetSpec(min_hits=1))
+        res = b.browse(req)
+        assert res.facets("path") == [(expect, 2)], paths

@@ -82,3 +82,21 @@ def test_small_dim_broadcast(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     j = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
     assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_hits_page_take_ordered(spark, sf_dir):
+    """hits_page_df must page via distributed top-k
+    (TakeOrderedAndProject); the rank window's single-partition
+    exchange sits ABOVE the limit, so it carries <= offset+count rows,
+    never the full hit set."""
+    from bobo_spark.facets import (BoboBrowser, BrowseRequest, BrowseSelection,
+                                   SimpleFacetHandler, SortField)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = BoboBrowser(ev, [SimpleFacetHandler("event_type")], doc_col="event_id")
+    req = BrowseRequest(count=20, offset=10, sort=[SortField("value", reverse=True)])
+    req.add_selection(BrowseSelection("event_type", values=["purchase"]))
+    plan = _plan(b.hits_page_df(req))
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    # the global-window exchange must be fed by the limit, not the scan
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window"), plan[:1200]
