@@ -21,20 +21,31 @@ from pyspark.sql.window import Window
 from bobo_spark import mapred, multimodal, simsearch, textops
 from bobo_spark.build import BuildConfig, build_snapshot
 from bobo_spark.facets import (
+    AttributesFacetHandler,
     BoboBrowser,
+    BooleanFacetQuery,
     BrowseRequest,
     BrowseSelection,
     BucketFacetHandler,
     ComboFacetHandler,
+    CompactMultiValueFacetHandler,
+    DynamicTimeRangeFacetHandler,
+    FacetBoostQuery,
     FacetSpec,
+    FacetTermQuery,
     FilteredRangeFacetHandler,
+    GeoFacetHandler,
+    GeoSimpleFacetHandler,
     HistogramFacetHandler,
     MultiRangeFacetHandler,
+    MultiValueFacetHandler,
+    MultiValueWithWeightFacetHandler,
     PathFacetHandler,
     RangeFacetHandler,
     SimpleFacetHandler,
     SimpleGroupbyFacetHandler,
     SortField,
+    VirtualSimpleFacetHandler,
 )
 from bobo_spark.query import IndexReader, SearchRequest
 
@@ -406,6 +417,208 @@ def _q_sessionize(spark, sf_dir):
     )
 
 
+# --- round-2 entries: previously golden-only operators, now driver-checked
+
+
+def _geo_customers(spark, sf_dir):
+    """Synthetic deterministic lat/lon (testdata has no geo columns):
+    integer arithmetic, bit-identical in Spark and DuckDB."""
+    cust = _load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 180) - 90 + 0.5).alias("lat"),
+        ((F.col("c_custkey") * 91 % 360) - 180 + 0.5).alias("lon"))
+
+
+def _q_facet_geo_box(spark, sf_dir):
+    g = _geo_customers(spark, sf_dir)
+    b = BoboBrowser(g, [GeoSimpleFacetHandler("geo", "lat", "lon")], doc_col="c_custkey")
+    req = BrowseRequest()
+    req.add_selection(BrowseSelection("geo", values=["10.5,20.5:8", "-30.5,50.5:12"]))
+    req.set_facet_spec("geo", FacetSpec(order_by="value", min_hits=0))
+    return b.facet_counts_df(req, "geo")
+
+
+def _q_facet_geo_distance(spark, sf_dir):
+    g = _geo_customers(spark, sf_dir)
+    b = BoboBrowser(g, [GeoFacetHandler("geo", "lat", "lon")], doc_col="c_custkey")
+    req = BrowseRequest()
+    req.add_selection(BrowseSelection("geo", values=["10.5,20.5:2000"]))
+    req.set_facet_spec("geo", FacetSpec(order_by="value", min_hits=0))
+    return b.facet_counts_df(req, "geo")
+
+
+def _q_facet_attributes(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "attrs", F.array(F.concat(F.lit("lang="), "lang"),
+                         F.concat(F.lit("src="), "source")))
+    h = AttributesFacetHandler("attrs", max_facets_per_key=3)
+    b = BoboBrowser(docs, [h], doc_col="doc_id")
+    req = BrowseRequest()
+    req.add_selection(BrowseSelection("attrs", values=["lang", "src"]))
+    req.set_facet_spec("attrs", FacetSpec(order_by="hits"))
+    return b.facet_counts_df(req, "attrs")
+
+
+_NOW_MS = 1706659200000  # 2024-01-31T00:00:00Z — fixed so the oracle is deterministic
+_DYN_RANGES = ["007000000", "014000000", "030000000"]
+
+
+def _q_facet_dyntime(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "tsmillis",
+        F.lpad(F.unix_millis(F.col("ts").cast("timestamp")).cast("string"), 20, "0"))
+    h = DynamicTimeRangeFacetHandler("timeago", "tsmillis", _NOW_MS, _DYN_RANGES)
+    b = BoboBrowser(ev, [h], doc_col="event_id")
+    req = BrowseRequest()
+    req.add_selection(BrowseSelection("timeago", values=["030000000"]))
+    req.set_facet_spec("timeago", FacetSpec(order_by="value", min_hits=0,
+                                            expand_selection=True))
+    return b.facet_counts_df(req, "timeago")
+
+
+def _user_etypes(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("etypes"))
+
+
+def _q_browse_multivalue(spark, sf_dir):
+    users = _user_etypes(spark, sf_dir)
+    b = BoboBrowser(users, [MultiValueFacetHandler("etypes")], doc_col="user_id")
+    req = BrowseRequest()
+    req.add_selection(BrowseSelection("etypes", values=["purchase"]))
+    req.set_facet_spec("etypes", FacetSpec(order_by="hits"))
+    return b.facet_counts_df(req, "etypes")
+
+
+def _q_browse_compact_sort(spark, sf_dir):
+    users = _user_etypes(spark, sf_dir)
+    b = BoboBrowser(users, [CompactMultiValueFacetHandler("etypes")], doc_col="user_id")
+    req = BrowseRequest(count=25, offset=5, sort=[SortField("etypes")])
+    return b.hits_page_df(req).select("user_id", "_rank")
+
+
+def _q_browse_weighted_multival(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "wtags", F.array(
+            F.struct(F.col("lang").alias("value"), F.lit(1).alias("weight")),
+            F.struct(F.col("source").alias("value"), F.lit(2).alias("weight"))))
+    b = BoboBrowser(docs, [MultiValueWithWeightFacetHandler("wtags")], doc_col="doc_id")
+    req = BrowseRequest()
+    req.add_selection(BrowseSelection("wtags", values=["en"]))
+    req.set_facet_spec("wtags", FacetSpec(order_by="hits"))
+    return b.facet_counts_df(req, "wtags")
+
+
+def _q_browse_virtual(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    h = VirtualSimpleFacetHandler(
+        "nmod", lambda df: F.pmod(F.col("n_chars"), F.lit(7)).cast("string"))
+    b = BoboBrowser(docs, [SimpleFacetHandler("lang"), h], doc_col="doc_id")
+    req = BrowseRequest()
+    req.add_selection(BrowseSelection("lang", values=["en"]))
+    req.add_selection(BrowseSelection("nmod", values=["3", "5"]))
+    req.set_facet_spec("nmod", FacetSpec(order_by="hits", expand_selection=True))
+    return b.facet_counts_df(req, "nmod")
+
+
+def _q_browse_facet_term_q(spark, sf_dir):
+    b = _browser_documents(spark, sf_dir)
+    q = FacetTermQuery(BrowseSelection("lang", values=["en", "de"]),
+                       boosts={"en": 2.0, "de": 3.0}, boost=1.5)
+    req = BrowseRequest(query=q)
+    return b.hits_frame(req).select("doc_id", F.round("_score", 4).alias("score"))
+
+
+def _q_browse_boolean_facet_q(spark, sf_dir):
+    b = _browser_documents(spark, sf_dir)
+    q = BooleanFacetQuery(clauses=[
+        FacetTermQuery(BrowseSelection("lang", values=["en"]), boosts={"en": 3.0}),
+        FacetTermQuery(BrowseSelection("source", values=["src1", "src2"]),
+                       boosts={"src1": 2.0, "src2": 1.0}),
+    ])
+    req = BrowseRequest(query=q)
+    return b.hits_frame(req).select("doc_id", F.round("_score", 4).alias("score"))
+
+
+def _q_browse_facet_boost_q(spark, sf_dir):
+    b = _browser_documents(spark, sf_dir)
+    q = FacetBoostQuery(boost_maps={"lang": {"en": 2.0, "de": 0.5},
+                                    "source": {"src1": 3.0}})
+    req = BrowseRequest(query=q, count=15)
+    return b.hits_page_df(req).select(
+        "doc_id", F.round("_score", 4).alias("score"), "_rank")
+
+
+def _q_bm25_rare_sel(spark, sf_dir):
+    """Rare facet value -> the engine takes the adaptive POSTINGS access
+    path (sentinel posting lists; ref AdaptiveFacetFilter.java:84-89)."""
+    r = _documents_index(spark, sf_dir)
+    res = r.search(SearchRequest(query="spark window", mode="or", k=10,
+                                 selections={"lang": ["fr"]}))
+    rows = [(int(d), float(s)) for d, s in zip(res.hits["doc_id"], res.hits["score"])]
+    return spark.createDataFrame(rows, "doc_id long, score double").select(
+        "doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_group_multilevel(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    b = BoboBrowser(orders, [SimpleFacetHandler("o_orderpriority")], doc_col="o_orderkey")
+    req = BrowseRequest(count=1_000_000,
+                        sort=[SortField("o_totalprice", reverse=True)],
+                        group_by="o_custkey", max_per_group=2)
+    res = b.browse(req)
+    rows = [(i + 1, int(r["o_custkey"]), int(r["o_orderkey"]), float(r["o_totalprice"]))
+            for i, r in enumerate(res.hit_rows)]
+    return spark.createDataFrame(
+        rows, "_rank long, o_custkey long, o_orderkey long, o_totalprice double")
+
+
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return textops.simhash_neardup_pairs(docs, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("long"))
+
+
+def _q_incremental_terms(spark, sf_dir):
+    """Two-batch INCREMENTAL build (snapshot 0 then append snapshot 1),
+    then term stats from the merged dictionary — exercises snapshot
+    append + term-id stability end-to-end."""
+    key = sf_dir.rstrip("/")
+    idx_dir = f"/tmp/bobo_spark_incr_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+    docs = _load(spark, sf_dir, "documents")
+    n = docs.count()
+    adapted = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("doc_id") * 37) % (180 * 86400)).alias("warc_ts"),
+        F.col("lang"), F.col("text"))
+    reader = None
+    try:
+        reader = IndexReader(spark, idx_dir)
+        pub = [s for s in reader.catalog.snapshots() if "published" in s.stages]
+        if reader.n_docs != n or len(pub) != 2:
+            reader = None
+    except Exception:
+        reader = None
+    if reader is None:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        cfg = BuildConfig(docs_per_segment=max(100, n // 8), block_size=64)
+        half = n // 2
+        build_snapshot(spark, adapted.where(F.col("doc_id") < half), idx_dir, cfg)
+        build_snapshot(spark, adapted.where(F.col("doc_id") >= half), idx_dir, cfg)
+        reader = IndexReader(spark, idx_dir)
+    terms = reader._terms.where(~F.col("term").startswith("\x00"))
+    return (
+        terms.select("term", F.col("df").cast("long").alias("df"),
+                     F.col("cf").cast("long").alias("cf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, _T]:
     return {
         "bm25_topk_and": _q_bm25_and,
@@ -440,6 +653,21 @@ def queries() -> dict[str, _T]:
         "facet_filtered_range": _q_filtered_range,
         "facet_multirange_toklen": _q_multirange,
         "map_reduce_hook": _q_map_reduce,
+        "facet_geo_box": _q_facet_geo_box,
+        "facet_geo_distance": _q_facet_geo_distance,
+        "facet_attributes": _q_facet_attributes,
+        "facet_dynamic_timerange": _q_facet_dyntime,
+        "browse_multivalue_facet": _q_browse_multivalue,
+        "browse_compact_multival_sort": _q_browse_compact_sort,
+        "browse_weighted_multival": _q_browse_weighted_multival,
+        "browse_virtual_facet": _q_browse_virtual,
+        "browse_facet_term_query": _q_browse_facet_term_q,
+        "browse_boolean_facet_query": _q_browse_boolean_facet_q,
+        "browse_facet_boost_query": _q_browse_facet_boost_q,
+        "bm25_topk_rare_sel": _q_bm25_rare_sel,
+        "browse_group_multilevel": _q_group_multilevel,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "incremental_snapshot_terms": _q_incremental_terms,
     }
 
 
@@ -481,6 +709,39 @@ FROM b, q WHERE b.bucket = q.qb
 ORDER BY cosine DESC, vec_id
 LIMIT {k}
 """
+
+
+def _geo_sql_base() -> str:
+    return ("SELECT c_custkey, (c_custkey * 37 % 180) - 90 + 0.5 AS lat, "
+            "(c_custkey * 91 % 360) - 180 + 0.5 AS lon FROM customer")
+
+
+def _haversine_sql(lat: float, lon: float) -> str:
+    """Distance expression matching GeoFacetHandler exactly: the
+    query-point trig is a PYTHON-computed literal (as in the engine),
+    only row-value trig runs engine-side."""
+    import math
+
+    lat2, lon2 = math.radians(lat), math.radians(lon)
+    return (
+        f"{2 * 3956.547!r} * asin(sqrt("
+        f"pow(sin((radians(lat) - {lat2!r}) / 2), 2) "
+        f"+ cos(radians(lat)) * {math.cos(lat2)!r} "
+        f"* pow(sin((radians(lon) - {lon2!r}) / 2), 2)))"
+    )
+
+
+def _dyntime_bounds() -> list[tuple[str, int, int]]:
+    """(named_range, lo_millis, hi_millis) from the SAME handler the
+    query uses — deterministic (fixed _NOW_MS)."""
+    from bobo_spark.facets.handlers import parse_range
+
+    h = DynamicTimeRangeFacetHandler("timeago", "tsmillis", _NOW_MS, _DYN_RANGES)
+    out = []
+    for name in h.named:
+        lo, hi, _, _ = parse_range(h.range_string[name], h.fmt)
+        out.append((name, int(lo), int(hi)))
+    return out
 
 
 def _minhash_sql_sig(k: int) -> str:
@@ -738,4 +999,126 @@ SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents WHERE lang = 'en'
 """,
         "simsearch_lsh_topk": _lsh_topk_sql(dim=64, n_planes=6, k=10),
+        "facet_geo_box": f"""
+WITH g AS ({_geo_sql_base()}),
+hits AS (SELECT * FROM g WHERE (lat BETWEEN 2.5 AND 18.5 AND lon BETWEEN 12.5 AND 28.5)
+                            OR (lat BETWEEN -42.5 AND -18.5 AND lon BETWEEN 38.5 AND 62.5))
+SELECT '-30.5,50.5:12' AS value,
+       (SELECT count(*) FROM hits
+        WHERE lat BETWEEN -42.5 AND -18.5 AND lon BETWEEN 38.5 AND 62.5)::BIGINT AS count
+UNION ALL
+SELECT '10.5,20.5:8',
+       (SELECT count(*) FROM hits
+        WHERE lat BETWEEN 2.5 AND 18.5 AND lon BETWEEN 12.5 AND 28.5)::BIGINT
+""",
+        "facet_geo_distance": f"""
+WITH g AS ({_geo_sql_base()}),
+hits AS (SELECT * FROM g WHERE {_haversine_sql(10.5, 20.5)} <= 2000)
+SELECT '10.5,20.5:2000' AS value, count(*)::BIGINT AS count FROM hits
+""",
+        "facet_attributes": """
+WITH a AS (SELECT doc_id, unnest(['lang=' || lang, 'src=' || source]) AS value
+           FROM documents),
+c AS (SELECT value, count(*) AS count FROM a GROUP BY 1),
+r AS (SELECT value, count,
+             row_number() OVER (PARTITION BY split_part(value, '=', 1)
+                                ORDER BY count DESC, value) AS rn
+      FROM c)
+SELECT value, count FROM r WHERE rn <= 3
+""",
+        "facet_dynamic_timerange": "\nUNION ALL\n".join(
+            f"SELECT '{name}' AS value, (SELECT count(*) FROM events "
+            f"WHERE epoch_ms(ts) BETWEEN {lo} AND {hi})::BIGINT AS count"
+            for name, lo, hi in _dyntime_bounds()
+        ),
+        "browse_multivalue_facet": """
+WITH u AS (SELECT user_id, list_distinct(list(event_type)) AS etypes
+           FROM events GROUP BY 1),
+h AS (SELECT * FROM u WHERE list_contains(etypes, 'purchase'))
+SELECT value, count(*) AS count
+FROM (SELECT unnest(etypes) AS value FROM h) GROUP BY 1
+""",
+        "browse_compact_multival_sort": """
+WITH u AS (SELECT user_id, list_distinct(list(event_type)) AS etypes
+           FROM events GROUP BY 1),
+d AS (SELECT event_type AS v, row_number() OVER (ORDER BY event_type) - 1 AS i
+      FROM (SELECT DISTINCT event_type FROM events)),
+m AS (SELECT u.user_id,
+             sum(CASE WHEN list_contains(u.etypes, d.v)
+                      THEN (1::BIGINT << d.i) ELSE 0 END) AS mask
+      FROM u CROSS JOIN d GROUP BY 1),
+r AS (SELECT user_id, row_number() OVER (ORDER BY mask, user_id) AS _rank FROM m)
+SELECT user_id, _rank FROM r WHERE _rank > 5 AND _rank <= 30
+""",
+        "browse_weighted_multival": """
+WITH h AS (SELECT * FROM documents WHERE lang = 'en')
+SELECT value, count(*) AS count
+FROM (SELECT unnest(list_distinct([lang, source])) AS value FROM h) GROUP BY 1
+""",
+        "browse_virtual_facet": """
+SELECT (n_chars % 7)::VARCHAR AS value, count(*) AS count
+FROM documents WHERE lang = 'en' GROUP BY 1
+""",
+        "browse_facet_term_query": """
+SELECT doc_id,
+       round(1.5 * ((CASE WHEN lang = 'de' THEN 3.0 ELSE 0 END)
+                    + (CASE WHEN lang = 'en' THEN 2.0 ELSE 0 END)), 4) AS score
+FROM documents WHERE lang IN ('en', 'de')
+""",
+        "browse_boolean_facet_query": """
+WITH s AS (SELECT doc_id,
+                  CASE WHEN lang = 'en' THEN 3.0 ELSE 0 END AS s1,
+                  (CASE WHEN source = 'src1' THEN 2.0 ELSE 0 END
+                   + CASE WHEN source = 'src2' THEN 1.0 ELSE 0 END) AS s2,
+                  (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  + (CASE WHEN source IN ('src1', 'src2') THEN 1 ELSE 0 END) AS m
+           FROM documents)
+SELECT doc_id, round((s1 + s2) * m / 2.0, 4) AS score FROM s WHERE m > 0
+""",
+        "browse_facet_boost_query": """
+WITH s AS (SELECT doc_id,
+                  (CASE WHEN lang = 'de' THEN 0.5 WHEN lang = 'en' THEN 2.0
+                        ELSE 1.0 END)
+                  * (CASE WHEN source = 'src1' THEN 3.0 ELSE 1.0 END) AS score
+           FROM documents),
+r AS (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS _rank FROM s)
+SELECT doc_id, round(score, 4) AS score, _rank FROM r WHERE _rank <= 15
+""",
+        "bm25_topk_rare_sel": _bm25_sql(["spark", "window"], "or", lang="fr"),
+        "browse_group_multilevel": """
+SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS _rank,
+       o_custkey, o_orderkey, o_totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 2
+""",
+        "dedup_simhash_pairs": f"""
+WITH h AS (SELECT doc_id,
+  list_transform(list_distinct({_TOK_SQL}),
+    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+  FROM documents),
+sig AS (SELECT doc_id,
+  list_sum(list_transform(range(0, 60), i ->
+    CASE WHEN list_sum(list_transform(hs, t -> ((t >> i) & 1) * 2 - 1)) > 0
+         THEN 1::BIGINT << i ELSE 0 END))::BIGINT AS simhash
+  FROM h),
+banded AS (SELECT doc_id, simhash, band,
+                  (simhash >> (15 * band)) & 32767 AS key
+           FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band)),
+pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                 x.simhash AS sig_a, y.simhash AS sig_b
+          FROM banded x JOIN banded y USING (band, key)
+          WHERE x.doc_id < y.doc_id)
+SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
+FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+""",
+        "incremental_snapshot_terms": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents),
+t AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+      FROM tok GROUP BY 1)
+SELECT term, df::BIGINT AS df, cf::BIGINT AS cf
+FROM t ORDER BY df DESC, term LIMIT 20
+""",
     }
