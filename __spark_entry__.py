@@ -47,6 +47,7 @@ from bobo_spark.facets import (
     SortField,
     VirtualSimpleFacetHandler,
 )
+from bobo_spark.facets.browse import recency_boost_col
 from bobo_spark.query import IndexReader, SearchRequest
 
 _T = Callable[[SparkSession, str], DataFrame]
@@ -63,7 +64,8 @@ def _documents_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     key = sf_dir.rstrip("/")
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
-    idx_dir = f"/tmp/bobo_spark_idx_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+    # v2: postings carry a positions stream (phrase queries)
+    idx_dir = f"/tmp/bobo_spark_idx2_{hashlib.md5(key.encode()).hexdigest()[:10]}"
     docs = _load(spark, sf_dir, "documents")
     n = docs.count()
     reader = None
@@ -551,6 +553,13 @@ def _q_browse_facet_boost_q(spark, sf_dir):
         "doc_id", F.round("_score", 4).alias("score"), "_rank")
 
 
+def _q_bm25_phrase(spark, sf_dir):
+    """Exact phrase search over the positional postings stream."""
+    r = _documents_index(spark, sf_dir)
+    return r.search_df(SearchRequest(query="data slow", mode="phrase", k=10)).select(
+        "doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_bm25_rare_sel(spark, sf_dir):
     """Rare facet value -> the engine takes the adaptive POSTINGS access
     path (sentinel posting lists; ref AdaptiveFacetFilter.java:84-89)."""
@@ -579,6 +588,54 @@ def _q_dedup_simhash_pairs(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return textops.simhash_neardup_pairs(docs, max_hamming=3).withColumn(
         "hamming", F.col("hamming").cast("long"))
+
+
+_RECENCY_NOW_MS = 1719792000000  # 2024-07-01T00:00:00Z (docs span Jan-Jun 2024)
+_RECENCY_CUTOFF_MS = 90 * 86400000
+_RECENCY_MAX = 2.0
+
+
+def _q_bm25_recency(spark, sf_dir):
+    """BM25 × quadratic recency decay on the doc's time bucket
+    (≙ RecencyBoostScorerBuilder)."""
+    r = _documents_index(spark, sf_dir)
+    res = r.search(SearchRequest(
+        query="spark stream", mode="or", k=10,
+        recency={"now_ms": _RECENCY_NOW_MS, "cutoff_ms": _RECENCY_CUTOFF_MS,
+                 "max_factor": _RECENCY_MAX}))
+    rows = [(int(d), float(s)) for d, s in zip(res.hits["doc_id"], res.hits["score"])]
+    return spark.createDataFrame(rows, "doc_id long, score double").select(
+        "doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_browse_recency(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "tms", F.unix_millis(F.col("ts").cast("timestamp")))
+    b = BoboBrowser(ev, [SimpleFacetHandler("event_type")], doc_col="event_id")
+    req = BrowseRequest(count=15, scorer_builders=[
+        recency_boost_col("tms", _NOW_MS, 14 * 86400000, 2.0)])
+    req.add_selection(BrowseSelection("event_type", values=["purchase"]))
+    return b.hits_page_df(req).select(
+        "event_id", F.round("_score", 4).alias("score"), "_rank")
+
+
+def _q_browse_num_groups(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    b = BoboBrowser(orders, [SimpleFacetHandler("o_orderpriority")], doc_col="o_orderkey")
+    req = BrowseRequest(count=1, group_by="o_custkey")
+    req.add_selection(BrowseSelection("o_orderpriority", values=["1-URGENT"]))
+    res = b.browse(req)
+    return spark.createDataFrame([(res.num_hits, res.num_groups)],
+                                 "num_hits long, num_groups long")
+
+
+def _q_browse_collectall(spark, sf_dir):
+    """No-query/no-filter facet counts served from the dictionary's df
+    stats — zero index scan (collectAll shortcut)."""
+    r = _documents_index(spark, sf_dir)
+    pdf = r.facet_counts("lang")
+    return spark.createDataFrame(pdf).select(
+        "value", F.col("count").cast("long").alias("count"))
 
 
 def _q_incremental_terms(spark, sf_dir):
@@ -664,10 +721,15 @@ def queries() -> dict[str, _T]:
         "browse_facet_term_query": _q_browse_facet_term_q,
         "browse_boolean_facet_query": _q_browse_boolean_facet_q,
         "browse_facet_boost_query": _q_browse_facet_boost_q,
+        "bm25_phrase": _q_bm25_phrase,
         "bm25_topk_rare_sel": _q_bm25_rare_sel,
         "browse_group_multilevel": _q_group_multilevel,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "incremental_snapshot_terms": _q_incremental_terms,
+        "bm25_recency_boost": _q_bm25_recency,
+        "browse_recency_scorer": _q_browse_recency,
+        "browse_num_groups": _q_browse_num_groups,
+        "browse_collectall_lang": _q_browse_collectall,
     }
 
 
@@ -708,6 +770,94 @@ SELECT vec_id,
 FROM b, q WHERE b.bucket = q.qb
 ORDER BY cosine DESC, vec_id
 LIMIT {k}
+"""
+
+
+def _bm25_phrase_sql(words: list[str], k: int = 10) -> str:
+    """Phrase BM25 oracle: ptf = exact consecutive-token matches, idf
+    summed over token instances in query order (matches the engine's
+    pinned accumulation)."""
+    m = len(words)
+    match = " AND ".join(f"toks[i + {j}] = '{w}'" for j, w in enumerate(words))
+    idfs = " + ".join(
+        f"ln(1 + (st.n - d{j}.df + 0.5) / (d{j}.df + 0.5))" for j in range(m))
+    df_ctes = ",\n".join(
+        f"d{j} AS (SELECT count(*)::DOUBLE AS df FROM tok "
+        f"WHERE list_contains(toks, '{w}'))" for j, w in enumerate(words))
+    joins = " ".join(f", d{j}" for j in range(m))
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(len(toks)) FROM tok)::DOUBLE
+                / (SELECT count(*) FROM documents) AS avgdl),
+{df_ctes},
+p AS (SELECT doc_id, len(toks)::DOUBLE AS dl,
+             len(list_filter(range(1, len(toks) - {m} + 2),
+                             i -> {match}))::DOUBLE AS ptf
+      FROM tok)
+SELECT doc_id,
+       round(({idfs}) * (ptf * 2.2) / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 4)
+         AS score
+FROM p, st{joins}
+WHERE ptf > 0
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+def _bm25_recency_sql(terms: list[str], k: int = 10) -> str:
+    """BM25 (raw) × quadratic recency decay on the synthetic warc_ts
+    day bucket (pure integer bucket arithmetic — no timezone
+    functions, so the oracle is engine-timezone independent)."""
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    mx = _RECENCY_MAX + 1.0
+    a = (1.0 - mx) / (float(_RECENCY_CUTOFF_MS) ** 2)
+    period = 180 * 86400
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({tlist}) GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), st
+  GROUP BY tf.doc_id
+),
+b AS (SELECT doc_id,
+             (1704067200 + ((doc_id * 37) % {period})
+              - ((doc_id * 37) % {period}) % 86400) * 1000 AS bms
+      FROM documents)
+SELECT sc.doc_id,
+       round(sc.score * (CASE WHEN {_RECENCY_NOW_MS} - b.bms > {_RECENCY_CUTOFF_MS}
+                              THEN 1.0
+                              ELSE {a!r} * ({_RECENCY_NOW_MS} - b.bms)
+                                   * ({_RECENCY_NOW_MS} - b.bms) + {mx!r} END), 4)
+         AS score
+FROM sc JOIN b USING (doc_id)
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+def _browse_recency_sql() -> str:
+    cutoff = 14 * 86400000
+    mx = 3.0
+    a = (1.0 - mx) / (float(cutoff) ** 2)
+    return f"""
+WITH s AS (SELECT event_id, epoch_ms(ts) AS tms FROM events
+           WHERE event_type = 'purchase'),
+sc AS (SELECT event_id,
+              1.0 * (CASE WHEN {_NOW_MS} - tms > {cutoff} THEN 1.0
+                          ELSE {a!r} * ({_NOW_MS} - tms) * ({_NOW_MS} - tms)
+                               + {mx!r} END) AS score
+       FROM s),
+r AS (SELECT event_id, score,
+             row_number() OVER (ORDER BY score DESC, event_id) AS _rank FROM sc)
+SELECT event_id, round(score, 4) AS score, _rank FROM r WHERE _rank <= 15
 """
 
 
@@ -1084,6 +1234,16 @@ WITH s AS (SELECT doc_id,
 r AS (SELECT doc_id, score,
              row_number() OVER (ORDER BY score DESC, doc_id) AS _rank FROM s)
 SELECT doc_id, round(score, 4) AS score, _rank FROM r WHERE _rank <= 15
+""",
+        "bm25_phrase": _bm25_phrase_sql(["data", "slow"]),
+        "bm25_recency_boost": _bm25_recency_sql(["spark", "stream"]),
+        "browse_recency_scorer": _browse_recency_sql(),
+        "browse_num_groups": """
+SELECT count(*)::BIGINT AS num_hits, count(DISTINCT o_custkey)::BIGINT AS num_groups
+FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+        "browse_collectall_lang": """
+SELECT lang AS value, count(*) AS count FROM documents GROUP BY 1
 """,
         "bm25_topk_rare_sel": _bm25_sql(["spark", "window"], "or", lang="fr"),
         "browse_group_multilevel": """

@@ -61,7 +61,7 @@ from .tokenizer import term_freq_frame
 POSTINGS_SCHEMA = (
     "segment long, term_id long, first_doc long, last_doc long, n_docs int, "
     "doc_bytes binary, tf_bytes binary, dl_bytes binary, lang_bytes binary, "
-    "ts_bytes binary, max_tf int, min_dl int"
+    "ts_bytes binary, pos_bytes binary, max_tf int, min_dl int"
 )
 
 
@@ -72,6 +72,10 @@ class BuildConfig:
     rows_per_posting_partition: int = 2_000_000  # (term,doc) pairs per shuffle partition
     broadcast_terms_threshold: int = 2_000_000  # broadcast dictionary below this
     ts_bucket: str = "day"
+    # store per-posting token positions (delta varbyte; the positions
+    # stream Lucene keeps for PhraseQuery). Off => pos_bytes empty and
+    # phrase queries raise.
+    store_positions: bool = True
 
 
 def _segment_col(cfg: BuildConfig):
@@ -253,6 +257,12 @@ def _encode_partition(batches, block_size: int):
     # blocks tile [0, n) contiguously -> reduceat segments == blocks
     max_tf = np.maximum.reduceat(tf, bstarts)
     min_dl = np.minimum.reduceat(dl, bstarts)
+    # positions stream: per-pair buffers are already delta-varbyte —
+    # a block's stream is the byte-concatenation of its rows' buffers
+    pos_col = pdf["pos_bytes"].to_numpy(object)
+    pos_lens = np.fromiter((len(x) for x in pos_col), dtype=np.int64, count=n)
+    pos_offs = np.concatenate(([0], np.cumsum(pos_lens)))
+    pos_all = b"".join(pos_col)
     # docID deltas: diff within block, first-of-block dropped (stored raw)
     prev = np.empty_like(doc)
     prev[0] = 0
@@ -280,6 +290,7 @@ def _encode_partition(batches, block_size: int):
             "dl_bytes": [dl_buf[dl_off[i]:dl_off[i + 1]] for i in rng],
             "lang_bytes": [lo_buf[lo_off[i]:lo_off[i + 1]] for i in rng],
             "ts_bytes": [to_buf[to_off[i]:to_off[i + 1]] for i in rng],
+            "pos_bytes": [pos_all[pos_offs[bstarts[i]]:pos_offs[bends[i]]] for i in rng],
             "max_tf": max_tf.astype(np.int32),
             "min_dl": min_dl.astype(np.int32),
         }
@@ -370,7 +381,8 @@ def build_snapshot(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                tf = term_freq_frame(pdf["doc_id"].to_numpy(np.int64), pdf["text"])
+                tf = term_freq_frame(pdf["doc_id"].to_numpy(np.int64), pdf["text"],
+                                     positions=cfg.store_positions)
                 side = pdf[["doc_id", "lang_ord", "ts_ord", "segment"]].set_index("doc_id")
                 tf = tf.join(side, on="doc_id")
                 packed = pack_meta(tf["tf"].to_numpy(np.int64),
@@ -382,6 +394,8 @@ def build_snapshot(
                     "term": tf["term"],
                     "packed": packed,
                     "segment": tf["segment"],
+                    "pos_bytes": tf["pos_bytes"] if cfg.store_positions
+                    else [b""] * len(tf),
                 })
                 # facet-value sentinel postings ("\x00field:ord", tf=1):
                 # give selective facet selections an inverted access
@@ -398,12 +412,13 @@ def build_snapshot(
                         "term": ("\x00" + fld + ":") + pdf[col].astype(str),
                         "packed": sent_packed,
                         "segment": pdf["segment"],
+                        "pos_bytes": [b""] * len(pdf),
                     })
                     for fld, col in (("lang", "lang_ord"), ("ts", "ts_ord"))
                 ], ignore_index=True)
                 yield pd.concat([out, sent], ignore_index=True)
 
-        pairs_schema = "doc_id long, term string, packed long, segment long"
+        pairs_schema = "doc_id long, term string, packed long, segment long, pos_bytes binary"
         docs_t.mapInPandas(to_pairs, schema=pairs_schema).write.mode("overwrite").parquet(pairs_path)
         cat.mark_stage(snap, "pairs")
 
@@ -479,7 +494,7 @@ def build_snapshot(
         if n_terms <= cfg.broadcast_terms_threshold:
             tmap = F.broadcast(tmap)
         enriched = pairs.join(tmap, "term").select(
-            "segment", "term_id", "doc_id", "packed"
+            "segment", "term_id", "doc_id", "packed", "pos_bytes"
         )
         (
             enriched.repartitionByRange(n_parts, "segment", "term_id", "doc_id")

@@ -25,6 +25,24 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from .handlers import CompactMultiValueFacetHandler, FacetHandler, _combine_and
+
+
+def recency_boost_col(time_col: str, now_ms: int, cutoff_ms: int,
+                      max_factor: float):
+    """ScorerBuilder analogue of the reference's quadratic time-decay
+    (query/RecencyBoostScorerBuilder.java:15,40,58-60, float64 here):
+    factor = 1 beyond the cutoff, else A·x² + (max_factor+1) with
+    x = now - time and A = -max_factor/cutoff². Pass the returned
+    callable in ``BrowseRequest.scorer_builders``."""
+    mx = float(max_factor) + 1.0
+    a = (1.0 - mx) / (float(cutoff_ms) ** 2)
+
+    def build(df: DataFrame):
+        x = (F.lit(float(now_ms)) - F.col(time_col).cast("double"))
+        return F.when(x > float(cutoff_ms), F.lit(1.0)).otherwise(
+            F.lit(a) * x * x + F.lit(mx))
+
+    return build
 from .spec import (
     BooleanFacetQuery,
     BrowseFacet,
@@ -42,6 +60,11 @@ class BoboBrowser:
         self.handlers = {h.name: h for h in handlers}
         self.doc_col = doc_col
         self._total_docs: int | None = None  # corpus size, counted once
+        # collectAll cache: full-corpus facet counts, computed once per
+        # field and replayed with zero scans on later unfiltered browses
+        # (≙ FacetCountCollector.collectAll serving dataCache.freqs,
+        # facets/impl/SimpleFacetHandler.java:222-225)
+        self._collectall_cache: dict = {}
         # natural doc order (Lucene docID): default = doc_col ascending
         self.doc_order = doc_order if doc_order is not None else F.col(doc_col)
         for h in self.handlers.values():
@@ -95,6 +118,16 @@ class BoboBrowser:
             return F.lit(True), score
         raise TypeError(f"unsupported query type: {type(q)}")
 
+    def _full_score(self, req: BrowseRequest, score):
+        """Query score × scorer-builder chain (raw = 1.0 with no query,
+        as a MatchAll inner scorer); None when neither exists."""
+        if score is None and not req.scorer_builders:
+            return None
+        full = score if score is not None else F.lit(1.0)
+        for sb in req.scorer_builders:
+            full = full * sb(self.df)
+        return full
+
     def hits_frame(self, req: BrowseRequest) -> DataFrame:
         """The full (unpaged) hit set as a DataFrame — the scale API."""
         preds = self._selection_preds(req)
@@ -103,8 +136,9 @@ class BoboBrowser:
         allp = list(preds.values()) + ([qpred] if qpred is not None else [])
         if allp:
             out = out.where(_combine_and(allp))
-        if score is not None:
-            out = out.withColumn("_score", score)
+        full = self._full_score(req, score)
+        if full is not None:
+            out = out.withColumn("_score", full)
         return out
 
     def _sort_cols(self, req: BrowseRequest, scored: bool):
@@ -144,7 +178,18 @@ class BoboBrowser:
         else:
             allp = list(preds.values()) + ([qpred] if qpred is not None else [])
             fhits = self.df.where(_combine_and(allp)) if allp else self.df
-        counts = h.counts(fhits, spec, self.df, own_sel)
+        unfiltered = not req.selections and req.query is None and base is None
+        if unfiltered and fld in self._collectall_cache:
+            rows, ddl = self._collectall_cache[fld]
+            counts = self.df.sparkSession.createDataFrame(rows, ddl)
+        else:
+            counts = h.counts(fhits, spec, self.df, own_sel)
+            if unfiltered:  # collectAll: pin the full-corpus distribution
+                ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                                for f in counts.schema.fields)
+                rows = [tuple(r) for r in counts.collect()]
+                self._collectall_cache[fld] = (rows, ddl)
+                counts = self.df.sparkSession.createDataFrame(rows, ddl)
         if spec.min_hits > 0:
             counts = counts.where(F.col("count") >= spec.min_hits)
         if spec.order_by == "hits":
@@ -164,8 +209,9 @@ class BoboBrowser:
         single-partition exchange the window needs carries at most
         ``offset + count`` rows, never the full hit set."""
         _, score = self._query_pred_score(req)
+        scored = self._full_score(req, score) is not None
         base = self.hits_frame(req)
-        cols = self._sort_cols(req, score is not None)
+        cols = self._sort_cols(req, scored)
         top = base.orderBy(*cols).limit(req.offset + req.count)
         ranked = top.withColumn("_rank", F.row_number().over(Window.orderBy(*cols)))
         return ranked.where(F.col("_rank") > req.offset)
@@ -175,11 +221,24 @@ class BoboBrowser:
         qpred, score = self._query_pred_score(req)
         base_list = list(preds.values()) + ([qpred] if qpred is not None else [])
         base = self.df.where(_combine_and(base_list)) if base_list else self.df
-        if score is not None:
-            base = base.withColumn("_score", score)
+        full = self._full_score(req, score)
+        scored = full is not None
+        if scored:
+            base = base.withColumn("_score", full)
         base = base.persist()
         try:
-            num_hits = base.count()
+            gkey = None
+            if req.group_by:
+                gh = self.handlers.get(req.group_by)
+                gkey = gh.sort_key(base) if gh else F.col(req.group_by)
+                # one job: hit count + distinct group-key count
+                # (≙ SortCollectorImpl numGroups via groupAccessibles)
+                row = base.agg(F.count("*").alias("n"),
+                               F.countDistinct(gkey).alias("g")).collect()[0]
+                num_hits, num_groups = int(row["n"]), int(row["g"])
+            else:
+                num_hits = base.count()
+                num_groups = num_hits
             if self._total_docs is None:  # once per browser, not per request
                 self._total_docs = self.df.count()
             total_docs = self._total_docs
@@ -189,16 +248,14 @@ class BoboBrowser:
                 counts = self.facet_counts_df(req, fld, base=base)
                 facet_map[fld] = [BrowseFacet(r["value"], r["count"]) for r in counts.collect()]
 
-            ordered = base.orderBy(*self._sort_cols(req, score is not None))
+            ordered = base.orderBy(*self._sort_cols(req, scored))
             if req.group_by:
-                gh = self.handlers.get(req.group_by)
-                gkey = gh.sort_key(base) if gh else F.col(req.group_by)
-                w = Window.partitionBy(gkey).orderBy(*self._sort_cols(req, score is not None))
+                w = Window.partitionBy(gkey).orderBy(*self._sort_cols(req, scored))
                 ordered = (
                     base.withColumn("_rn", F.row_number().over(w))
                     .where(F.col("_rn") <= req.max_per_group)
                     .drop("_rn")
-                    .orderBy(*self._sort_cols(req, score is not None))
+                    .orderBy(*self._sort_cols(req, scored))
                 )
             page = ordered.limit(req.offset + req.count).collect()[req.offset:]
             hit_rows = [r.asDict() for r in page]
@@ -209,6 +266,7 @@ class BoboBrowser:
                 hits=hits,
                 facet_map=facet_map,
                 hit_rows=hit_rows,
+                num_groups=num_groups,
             )
         finally:
             base.unpersist()

@@ -85,6 +85,10 @@ class BrowseRequest:
     query: object | None = None  # FacetTermQuery | BooleanFacetQuery | FacetBoostQuery
     group_by: str | None = None
     max_per_group: int = 1
+    # ScorerBuilder chain (≙ query/ScorerBuilder.java): each callable
+    # df -> Column multiplies the query score (raw score 1.0 when there
+    # is no query, as a Lucene MatchAll inner scorer would give)
+    scorer_builders: list = field(default_factory=list)
 
     def add_selection(self, sel: BrowseSelection) -> "BrowseRequest":
         self.selections.append(sel)
@@ -108,6 +112,9 @@ class BrowseResult:
     hits: list  # list of doc ids (doc_col values) in rank order
     facet_map: dict  # field -> list[BrowseFacet]
     hit_rows: list = field(default_factory=list)  # full hit rows (dicts)
+    # distinct group-key count over the hit set when group_by is set,
+    # else == num_hits (≙ sort/SortCollectorImpl.java:189-190,339-341)
+    num_groups: int = 0
 
     def facets(self, fld: str) -> list[tuple]:
         return [(f.value, f.count) for f in self.facet_map[fld]]

@@ -53,7 +53,7 @@ FACET_FIELDS = {"lang": "lang", "ts_bucket": "ts_bucket"}
 @dataclass
 class SearchRequest:
     query: str | list[str]
-    mode: str = "and"  # "and" | "or"
+    mode: str = "and"  # "and" | "or" | "phrase" (exact consecutive positions)
     k: int = 10
     offset: int = 0
     facets: tuple[str, ...] = ()  # subset of {lang, ts_bucket}
@@ -64,6 +64,12 @@ class SearchRequest:
     # Bobo expandSelection: a facet's own selection excluded from its counts
     expand_selection: bool = True
     prune: bool = True
+    # quadratic time-decay boost ≙ query/RecencyBoostScorerBuilder.java:15,40,58-60:
+    # {"now_ms": int, "cutoff_ms": int, "max_factor": float} — final score =
+    # raw * (x > cutoff ? 1 : A·x² + (max_factor+1)), x = now - doc time,
+    # A = -max_factor/cutoff². Doc time = the doc's ts_bucket start (the
+    # engine's long time facet). float64 (reference uses float32).
+    recency: dict | None = None
 
 
 @dataclass
@@ -122,6 +128,55 @@ def _decode_term_blocks(b: pd.DataFrame):
     lang = vb_decode(b"".join(b["lang_bytes"])).astype(np.int64)
     ts = vb_decode(b"".join(b["ts_bytes"])).astype(np.int64)
     return docs, tf, dl, lang, ts
+
+
+_POS_SHIFT = 24  # (doc_id << 24 | position) occurrence keys: doc_id < 2^40, pos < 2^24
+
+
+def _decode_positions(b: pd.DataFrame, tf: np.ndarray) -> np.ndarray:
+    """Decode a term's positions stream (aligned with the decoded tf
+    order): per posting, first position absolute then gaps — recovered
+    with one segmented cumsum over the concatenated buffers."""
+    vals = vb_decode(b"".join(b["pos_bytes"])).astype(np.int64)
+    total = int(tf.sum())
+    if vals.size != total:
+        raise ValueError(
+            "positions stream missing or truncated — index built with "
+            "store_positions=False cannot serve phrase queries")
+    starts = np.cumsum(tf) - tf
+    cums = np.cumsum(vals)
+    base = cums[starts] - vals[starts]  # sum of values before each run
+    return cums - np.repeat(base, tf)
+
+
+def _phrase_filter(groups: dict, decoded: dict, phrase_ids: list[int],
+                   cand: np.ndarray):
+    """Exact phrase verification over the conjunctive candidate set.
+
+    Fully vectorized (≙ Lucene ExactPhraseMatcher): occurrences become
+    uint64 (doc << 24 | pos) keys; an occurrence of token j at key k
+    survives iff k + 1 is an occurrence key of token j+1. Returns
+    (matching docs ascending, phrase frequency per doc)."""
+    keymap = {}
+    for tid in set(phrase_ids):
+        docs, tf, _dl, _lang, _ts = decoded[tid]
+        pos = _decode_positions(groups[tid], tf)
+        occ_docs = np.repeat(docs, tf)
+        # restrict to candidate docs before building keys
+        idx = np.searchsorted(cand, occ_docs)
+        ok = (idx < cand.size) & (cand[np.minimum(idx, cand.size - 1)] == occ_docs)
+        keymap[tid] = (occ_docs[ok].astype(np.uint64) << np.uint64(_POS_SHIFT)) \
+            | pos[ok].astype(np.uint64)
+    keys = keymap[phrase_ids[0]]
+    for j, tid in enumerate(phrase_ids[1:], start=1):
+        if keys.size == 0:
+            break
+        keys = keys[np.isin(keys + np.uint64(j), keymap[tid])]
+    if keys.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    match_docs, ptf = np.unique((keys >> np.uint64(_POS_SHIFT)).astype(np.int64),
+                                return_counts=True)
+    return match_docs, ptf.astype(np.int64)
 
 
 def _and_masks(*masks):
@@ -203,13 +258,14 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
 
     groups = {tid: g.sort_values("first_doc") for tid, g in pdf.groupby("term_id")}
     present = [t for t in terms if t["term_id"] in groups]
-    if mode == "and" and len(present) < len(terms):
+    conj = mode in ("and", "phrase")  # phrase = conjunction + positional check
+    if conj and len(present) < len(terms):
         return _empty_out()
     if not present:
         return _empty_out()
 
     # ---- conjunctive block skip: drop blocks not overlapping the rarest term's
-    if mode == "and" and len(present) > 1:
+    if conj and len(present) > 1:
         rare = min(present, key=lambda t: t["df"])
         rb = groups[rare["term_id"]]
         rf = rb["first_doc"].to_numpy(np.int64)
@@ -224,10 +280,12 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
             keep = (idx >= 0) & (rl[np.maximum(idx, 0)] >= f)
             groups[t["term_id"]] = g[keep]
 
-    # ---- disjunctive block-max pruning (top-k only: no facets/selections)
+    # ---- disjunctive block-max pruning (top-k only: no facets/selections;
+    # recency boost invalidates the block score bounds)
     pruned_mode = (
         mode == "or" and plan.get("prune") and not plan["facets"]
         and sel_lang is None and sel_ts is None and len(present) > 1
+        and not plan.get("recency")
     )
     n_hits_exact = None
     if pruned_mode:
@@ -246,7 +304,7 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
     for t in present:
         g = groups[t["term_id"]]
         if len(g) == 0:
-            if mode == "and":
+            if conj:
                 return _empty_out()
             continue
         decoded[t["term_id"]] = _decode_term_blocks(g)
@@ -255,7 +313,7 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
         return _empty_out()
 
     # ---- candidate doc set
-    if mode == "and":
+    if conj:
         cand = decoded[present[0]["term_id"]][0]
         for t in present[1:]:
             cand = np.intersect1d(cand, decoded[t["term_id"]][0], assume_unique=True)
@@ -264,10 +322,18 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
     else:
         cand = np.unique(np.concatenate([decoded[t["term_id"]][0] for t in present]))
 
+    # ---- phrase: positional verification narrows the candidate set
+    ptf = None
+    if mode == "phrase":
+        cand, ptf = _phrase_filter(groups, decoded, plan["phrase_ids"], cand)
+        if cand.size == 0:
+            return _empty_out()
+
     # ---- per-doc ordinals (needed for facet counts / ord-mode selections)
     lang_postings = plan.get("sel_lang_mode") == "postings"
     ts_postings = plan.get("sel_ts_mode") == "postings"
-    need_ords = bool(plan["facets"]) or (sel_lang is not None and not lang_postings) \
+    need_ords = bool(plan["facets"]) or bool(plan.get("recency")) \
+        or (sel_lang is not None and not lang_postings) \
         or (sel_ts is not None and not ts_postings)
     doc_lang = doc_ts = None
     if need_ords:
@@ -300,12 +366,29 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
 
     # ---- exact TAAT scoring, ascending lexicographic term order
     scores = np.zeros(cand.size, dtype=np.float64)
-    for t in present:  # already lex-ordered
-        docs, tf, dl, _lang, _ts = decoded[t["term_id"]]
-        pos = np.searchsorted(cand, docs)
-        ok = (pos < cand.size) & (cand[np.minimum(pos, cand.size - 1)] == docs)
-        c = bm25.contrib(tf[ok], dl[ok], t["idf"], avgdl)
-        scores[pos[ok]] += c
+    if mode == "phrase":
+        # Lucene PhraseQuery scoring: freq = phrase occurrences, idf =
+        # Σ idf over the phrase's token INSTANCES (duplicates counted)
+        docs0, _tf0, dl0, _l0, _t0 = decoded[plan["phrase_ids"][0]]
+        pos = np.searchsorted(docs0, cand)
+        scores = bm25.contrib(ptf, dl0[pos], plan["phrase_idf_sum"], avgdl)
+    else:
+        for t in present:  # already lex-ordered
+            docs, tf, dl, _lang, _ts = decoded[t["term_id"]]
+            pos = np.searchsorted(cand, docs)
+            ok = (pos < cand.size) & (cand[np.minimum(pos, cand.size - 1)] == docs)
+            c = bm25.contrib(tf[ok], dl[ok], t["idf"], avgdl)
+            scores[pos[ok]] += c
+
+    # ---- recency boost: quadratic decay factor on the doc's time bucket
+    rec = plan.get("recency")
+    if rec:
+        ord_ms = np.asarray(rec["ord_ms"], dtype=np.float64)
+        x = rec["now_ms"] - ord_ms[doc_ts]
+        mx = rec["max_factor"] + 1.0
+        a = (1.0 - mx) / (float(rec["cutoff_ms"]) ** 2)
+        factor = np.where(x > rec["cutoff_ms"], 1.0, a * x * x + mx)
+        scores = scores * factor
 
     # ---- facet counts (multi-select: leave-one-out masks) + hits
     full_mask = m if m is not None else np.ones(cand.size, dtype=bool)
@@ -390,6 +473,17 @@ class IndexReader:
             ).toPandas(),
         }
 
+    def facet_counts(self, field: str) -> pd.DataFrame:
+        """collectAll shortcut: no-query/no-filter facet counts served
+        straight from the facet dictionary's df stats — ZERO index scan
+        (≙ FacetCountCollector.collectAll over dataCache.freqs,
+        facets/impl/SimpleFacetHandler.java:222-225 +
+        api/BoboSubBrowser.java:59-64)."""
+        d = self.dicts[field][["value", "df"]].rename(columns={"df": "count"})
+        d = d.astype({"count": "int64"})
+        return d.sort_values(["count", "value"], ascending=[False, True],
+                             ignore_index=True)
+
     # ---------------------------------------------------------------- planning
 
     OR_THRESHOLD = 5  # ≙ AdaptiveFacetFilter.java:98
@@ -447,6 +541,27 @@ class IndexReader:
         sel_lang, sel_ts = self._resolve_selections(req)
         lang_mode, lang_tids = self._access_path("lang", sel_lang)
         ts_mode, ts_tids = self._access_path("ts", sel_ts)
+        recency = None
+        if req.recency:
+            d = self.dicts["ts_bucket"]
+            max_ord = int(d["ordinal"].max()) if len(d) else 0
+            ord_ms = np.full(max_ord + 1, -1e18)  # ordinal 0/missing → factor 1
+            if len(d):
+                ms = pd.to_datetime(d["value"], utc=True).astype("int64") // 1_000_000
+                ord_ms[d["ordinal"].to_numpy(np.int64)] = ms.to_numpy(np.float64)
+            recency = {
+                "now_ms": float(req.recency["now_ms"]),
+                "cutoff_ms": float(req.recency["cutoff_ms"]),
+                "max_factor": float(req.recency["max_factor"]),
+                "ord_ms": ord_ms.tolist(),
+            }
+        phrase_ids: list[int] = []
+        phrase_idf_sum = 0.0
+        if req.mode == "phrase":
+            by_term = {t["term"]: t for t in plan_terms}
+            phrase_ids = [by_term[t]["term_id"] for t in qtokens]
+            for t in qtokens:  # token-instance order — pinned sum order
+                phrase_idf_sum += by_term[t]["idf"]
         return {
             "terms": plan_terms,
             "mode": req.mode,
@@ -462,13 +577,17 @@ class IndexReader:
             "sel_ts_tids": ts_tids,
             "expand_selection": req.expand_selection,
             "prune": req.prune,
+            "phrase_ids": phrase_ids,
+            "phrase_idf_sum": phrase_idf_sum,
+            "recency": recency,
         }
 
     # --------------------------------------------------------------- execution
 
     def _segment_outputs(self, plan: dict) -> DataFrame:
         tids = [t["term_id"] for t in plan["terms"] if t["term_id"] >= 0]
-        if not tids or (plan["mode"] == "and" and len(tids) < len(plan["terms"])):
+        if not tids or (plan["mode"] in ("and", "phrase")
+                        and len(tids) < len(plan["terms"])):
             return self.spark.createDataFrame([], OUT_SCHEMA)
         tids = tids + plan.get("sel_lang_tids", []) + plan.get("sel_ts_tids", [])
         blocks = self._postings.where(F.col("term_id").isin(tids))
@@ -523,7 +642,7 @@ class IndexReader:
         runnable = [
             i for i, p in enumerate(plans)
             if [t for t in p["terms"] if t["term_id"] >= 0]
-            and not (p["mode"] == "and"
+            and not (p["mode"] in ("and", "phrase")
                      and any(t["term_id"] < 0 for t in p["terms"]))
         ]
         results: list[SearchResult | None] = [None] * len(reqs)

@@ -36,29 +36,68 @@ def tokenize_batch(texts: pd.Series) -> pd.Series:
     return texts.str.lower().str.findall(TOKEN_RE)
 
 
-def term_freq_frame(doc_ids: np.ndarray, texts: pd.Series) -> pd.DataFrame:
+def term_freq_frame(doc_ids: np.ndarray, texts: pd.Series,
+                    positions: bool = False) -> pd.DataFrame:
     """Vectorized per-batch term-frequency table.
 
-    Returns columns (doc_id, term, tf, doclen). Token counting happens
-    through a single pandas ``value_counts`` over the exploded
-    (doc, token) pairs — C-path group counting, no per-row Python.
+    Returns columns (doc_id, term, tf, doclen[, pos_bytes]). Token
+    counting happens through one C-path group over the exploded
+    (doc, token) pairs — no per-row Python.
+
+    With ``positions=True`` each row also carries ``pos_bytes``: the
+    term's in-document token positions (0-based), delta-varbyte
+    encoded (first position absolute, then gaps) — the per-posting
+    positions stream that unlocks phrase search.
     """
+    from .codecs import vb_encode_segmented
+
     toks = tokenize_batch(texts)
     doclens = toks.map(len).to_numpy(dtype=np.int64)
     flat_rows = np.repeat(doc_ids, doclens)
     if len(flat_rows) == 0:
-        return pd.DataFrame(
-            {
-                "doc_id": np.array([], dtype=np.int64),
-                "term": np.array([], dtype=object),
-                "tf": np.array([], dtype=np.int64),
-                "doclen": np.array([], dtype=np.int64),
-            }
-        )
+        cols = {
+            "doc_id": np.array([], dtype=np.int64),
+            "term": np.array([], dtype=object),
+            "tf": np.array([], dtype=np.int64),
+            "doclen": np.array([], dtype=np.int64),
+        }
+        if positions:
+            cols["pos_bytes"] = np.array([], dtype=object)
+        return pd.DataFrame(cols)
     flat_toks = np.concatenate([np.asarray(t, dtype=object) for t in toks.to_numpy()])
-    pairs = pd.DataFrame({"doc_id": flat_rows, "term": flat_toks})
-    tf = pairs.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+    if not positions:
+        pairs = pd.DataFrame({"doc_id": flat_rows, "term": flat_toks})
+        tf = pairs.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        dl = pd.Series(doclens, index=doc_ids)
+        tf["doclen"] = dl.loc[tf["doc_id"].to_numpy()].to_numpy()
+        tf["tf"] = tf["tf"].astype(np.int64)
+        return tf
+    # positions path: stable-sort occurrences by (doc, term); flat order
+    # IS position order, so within each (doc, term) run positions stay
+    # ascending. Runs become rows; one segmented varbyte encode covers
+    # the whole batch.
+    starts_per_doc = np.cumsum(doclens) - doclens
+    pos = np.arange(flat_rows.size, dtype=np.int64) - np.repeat(starts_per_doc, doclens)
+    occ = pd.DataFrame({"doc_id": flat_rows, "term": flat_toks, "pos": pos})
+    occ = occ.sort_values(["doc_id", "term"], kind="stable", ignore_index=True)
+    d = occ["doc_id"].to_numpy(np.int64)
+    t = occ["term"].to_numpy(object)
+    p = occ["pos"].to_numpy(np.int64)
+    new_run = np.ones(len(occ), dtype=bool)
+    new_run[1:] = (d[1:] != d[:-1]) | (t[1:] != t[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_lens = np.diff(np.append(run_starts, len(occ)))
+    prev = np.empty_like(p)
+    prev[0] = 0
+    prev[1:] = p[:-1]
+    deltas = np.where(new_run, p, p - prev).astype(np.uint64)
+    buf, offs = vb_encode_segmented(deltas, run_starts)
     dl = pd.Series(doclens, index=doc_ids)
-    tf["doclen"] = dl.loc[tf["doc_id"].to_numpy()].to_numpy()
-    tf["tf"] = tf["tf"].astype(np.int64)
-    return tf
+    run_docs = d[run_starts]
+    return pd.DataFrame({
+        "doc_id": run_docs,
+        "term": t[run_starts],
+        "tf": run_lens.astype(np.int64),
+        "doclen": dl.loc[run_docs].to_numpy(),
+        "pos_bytes": [buf[offs[i]:offs[i + 1]] for i in range(len(run_starts))],
+    })
