@@ -192,7 +192,9 @@ class BoboBrowser:
                 counts = self.df.sparkSession.createDataFrame(rows, ddl)
         if spec.min_hits > 0:
             counts = counts.where(F.col("count") >= spec.min_hits)
-        if spec.order_by == "hits":
+        if spec.order_by == "custom" and spec.custom_order:
+            counts = counts.orderBy(*spec.custom_order)
+        elif spec.order_by == "hits":
             counts = counts.orderBy(F.desc("count"), F.asc("value"))
         else:
             counts = counts.orderBy(F.asc("value"))

@@ -31,10 +31,18 @@ class BrowseSelection:
 
 @dataclass
 class FacetSpec:
-    order_by: str = "value"  # "value" (OrderValueAsc, the reference default) | "hits" (OrderHitsDesc)
+    # "value" (OrderValueAsc, the reference default) | "hits"
+    # (OrderHitsDesc) | "custom" (OrderByCustom + custom_order)
+    order_by: str = "value"
     max_count: int = 0  # 0 = unlimited
     min_hits: int = 1  # minHitCount; 0 => include zero-count values
     expand_selection: bool = False
+    # ComparatorFactory analogue (≙ api/ComparatorFactory.java:12 +
+    # FacetSpec.OrderByCustom): sort-key Columns over the (value,
+    # count) frame. A comparator must be expressed as key expressions —
+    # the distributed sort requirement Spark shares with Lucene's
+    # segment merge.
+    custom_order: list = field(default_factory=list)
 
 
 @dataclass

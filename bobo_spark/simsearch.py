@@ -86,11 +86,65 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10, n_planes: int =
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate cosine top-k: probe only the query's LSH bucket.
 
-    Recall/probe tradeoff via n_planes; partition-prunable when the
-    table is written partitioned by bucket."""
+    Computes buckets on the fly (O(N) scan — the small-scale / oracle
+    variant). The scale path is ``build_lsh_index`` +
+    ``lsh_topk_indexed``: a bucket-PARTITIONED table where a query
+    reads only its probed partitions."""
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes)
     qb = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0))
     bucketed = df.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
     cand = bucketed.where(F.col("_bucket") == qb)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def probe_buckets(query_vec: list[float], planes: np.ndarray, probes: int = 1) -> list[int]:
+    """Multiprobe bucket list: the query's bucket plus (probes-1)
+    single-bit flips ordered by |projection| ascending — the planes the
+    query sits closest to are the likeliest sign errors."""
+    dots = planes @ np.asarray(query_vec, dtype=np.float64)
+    qb = int(sum((1 << i) for i in range(len(planes)) if float(dots[i]) > 0))
+    flips = np.argsort(np.abs(dots), kind="stable")
+    out = [qb]
+    for i in flips[: max(0, probes - 1)]:
+        out.append(qb ^ (1 << int(i)))
+    return out
+
+
+def build_lsh_index(df: DataFrame, out_dir: str, dim: int, n_planes: int = 8,
+                    seed: int = 7, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Materialize the ANN index: vectors written PARTITIONED BY their
+    LSH bucket, plus a meta sidecar pinning (dim, n_planes, seed) so
+    queries recompute identical hyperplanes. At 100 TB a query then
+    touches only probes/2^n_planes of the data — partition pruning on
+    the ``_bucket`` directory column does the skipping (plan-asserted
+    in tests/test_plans.py)."""
+    import json
+    import os
+
+    planes = hyperplanes(dim, n_planes, seed)
+    (
+        df.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
+        .write.mode("overwrite").partitionBy("_bucket")
+        .parquet(os.path.join(out_dir, "data"))
+    )
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"dim": dim, "n_planes": n_planes, "seed": seed,
+                   "id_col": id_col, "vec_col": vec_col}, f)
+
+
+def lsh_topk_indexed(spark, index_dir: str, query_vec: list[float], k: int = 10,
+                     probes: int = 1) -> DataFrame:
+    """ANN top-k over a materialized LSH index: reads ONLY the probed
+    bucket partitions (multiprobe via single-bit flips)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    buckets = probe_buckets(query_vec, planes, probes)
+    df = spark.read.parquet(os.path.join(index_dir, "data"))
+    cand = df.where(F.col("_bucket").isin(buckets))
+    return cosine_topk(cand, query_vec, k, meta["id_col"], meta["vec_col"])

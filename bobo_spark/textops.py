@@ -174,20 +174,60 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return df.select(F.col(id_col), sig.alias("minhash"))
 
 
+def _bucket_pairs(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Distinct candidate pairs from a banded frame (id, sig, band,
+    bucket).
+
+    Uncapped: full within-bucket pairing (O(c²) per bucket — exact,
+    the oracle variant). With ``max_bucket_size``: buckets larger than
+    the cap are NOT expanded pairwise — each member pairs only with
+    the bucket's min-id REPRESENTATIVE (O(c)), which preserves
+    duplicate-cluster connectivity for dedup while bounding the worst
+    bucket a 100-TB crawl's giant dup cluster can produce."""
+    left = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+                         "band", "bucket")
+    right = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+                          "band", "bucket")
+    if max_bucket_size is None:
+        joined = left.join(right, ["band", "bucket"])
+    else:
+        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
+        sized = banded.join(sizes, ["band", "bucket"])
+        small = sized.where(F.col("_bsz") <= max_bucket_size)
+        sl = small.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+                          "band", "bucket")
+        sr = small.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+                          "band", "bucket")
+        big = sized.where(F.col("_bsz") > max_bucket_size)
+        reps = big.groupBy("band", "bucket").agg(
+            F.min("id").alias("id_a"), F.expr("min_by(sig, id)").alias("sig_a"))
+        br = big.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+                        "band", "bucket")
+        joined = sl.join(sr, ["band", "bucket"]).unionByName(
+            reps.join(br, ["band", "bucket"]))
+    return (
+        joined.where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       n: int = 3, k: int = 16, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     Bands of r = k/bands rows; docs sharing any band bucket become
     candidates; est_jaccard = matching signature fraction; pairs kept
     at est_jaccard >= threshold. Shuffle cost: one exchange on
-    band_hash (bounded buckets), never O(n^2)."""
+    band_hash. ``max_bucket_size`` caps within-bucket expansion (see
+    ``_bucket_pairs``) — set it at corpus scale."""
     r = k // bands
     sigs = minhash_signatures(df, id_col, text_col, n, k)
     banded = sigs.select(
-        F.col(id_col),
-        F.col("minhash"),
+        F.col(id_col).alias("id"),
+        F.col("minhash").alias("sig"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -199,19 +239,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "minhash", "bb.band", "bb.bucket")
-    left = banded.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"),
-                         "band", "bucket")
-    right = banded.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"),
-                          "band", "bucket")
-    pairs = (
-        left.join(right, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    pairs = _bucket_pairs(banded, max_bucket_size)
     est = F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
-                                     lambda x, y: x == y), lambda z: z)) / F.lit(float(len(_minhash_params(k)[0])))
+                                     lambda x, y: x == y), lambda z: z)) / F.lit(float(k))
     return (
         pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
@@ -281,26 +312,24 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                          max_hamming: int = 3) -> DataFrame:
+                          max_hamming: int = 3,
+                          max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Candidate generation via 4 15-bit bands (a pair within hamming 3
-    must agree on ≥1 band), exact popcount filter after."""
+    must agree on ≥1 band), exact popcount filter after.
+    ``max_bucket_size`` caps within-bucket expansion (min-id
+    representative fallback, see ``_bucket_pairs``)."""
     sig = simhash64(df, id_col, text_col)
     banded = sig.select(
-        F.col(id_col), "simhash",
+        F.col(id_col).alias("id"), F.col("simhash").alias("sig"),
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     F.shiftright("simhash", 15 * i).bitwiseAND(F.lit(0x7FFF)).alias("key"))
+                     F.shiftright("simhash", 15 * i).bitwiseAND(F.lit(0x7FFF)).alias("bucket"))
             for i in range(4)
         ])).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.key")
-    l = banded.withColumnsRenamed({id_col: "id_a", "simhash": "sig_a"})
-    r = banded.withColumnsRenamed({id_col: "id_b", "simhash": "sig_b"})
-    pairs = (
-        l.join(r, ["band", "key"]).where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b").distinct()
-    )
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    pairs = _bucket_pairs(banded, max_bucket_size)
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return pairs.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming

@@ -1,0 +1,79 @@
+"""Scale hardening of the LSH paths: capped band buckets (giant
+dup-cluster stress) and the materialized bucket-partitioned ANN index
+(partition pruning + multiprobe)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bobo_spark import simsearch, textops
+
+
+def test_capped_buckets_dup_cluster(spark):
+    """A 120-doc exact-dup cluster must cost O(c) pairs with a cap,
+    not C(120,2), while keeping every member connected to the
+    representative."""
+    rows = [(i, "the same exact duplicated text payload number one") for i in range(120)]
+    rows += [(1000 + i, f"unique text number {i} with filler tokens alpha beta gamma")
+             for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = textops.minhash_lsh_pairs(docs, threshold=0.9, max_bucket_size=10).toPandas()
+    cluster = capped[(capped["id_a"] < 1000) & (capped["id_b"] < 1000)]
+    # representative pairing: exactly (c-1) pairs, all anchored at min id 0
+    assert len(cluster) == 119
+    assert set(cluster["id_a"]) == {0}
+    assert set(cluster["id_b"]) == set(range(1, 120))
+    # uncapped would explode quadratically on the same input
+    full = textops.minhash_lsh_pairs(docs, threshold=0.9).toPandas()
+    assert len(full[(full["id_a"] < 1000) & (full["id_b"] < 1000)]) == 120 * 119 // 2
+
+
+def test_capped_simhash_pairs(spark):
+    rows = [(i, "another big family of identical web pages crawled twice")
+            for i in range(60)]
+    rows += [(500 + i, f"distinct page {i} about nothing in particular") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = textops.simhash_neardup_pairs(docs, max_hamming=0,
+                                           max_bucket_size=8).toPandas()
+    cluster = capped[(capped["id_a"] < 500) & (capped["id_b"] < 500)]
+    assert len(cluster) == 59 and set(cluster["id_a"]) == {0}
+
+
+@pytest.fixture(scope="module")
+def lsh_index(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("lsh_idx"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    simsearch.build_lsh_index(emb, d, dim=64, n_planes=6)
+    return d, emb
+
+
+def test_lsh_index_partition_pruning(spark, lsh_index):
+    d, emb = lsh_index
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    df = simsearch.lsh_topk_indexed(spark, d, qv, k=10)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "_bucket" in plan and "PartitionFilters" in plan, plan[:800]
+    # identical results to the on-the-fly bucket scan
+    flat = simsearch.lsh_topk(emb, qv, k=10, n_planes=6).toPandas()
+    idx = df.toPandas()
+    assert idx.values.tolist() == flat.values.tolist()
+
+
+def test_lsh_index_multiprobe(spark, lsh_index):
+    d, emb = lsh_index
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    planes = simsearch.hyperplanes(64, 6)
+    buckets = simsearch.probe_buckets(qv, planes, probes=3)
+    assert len(set(buckets)) == 3
+    got = simsearch.lsh_topk_indexed(spark, d, qv, k=10, probes=3).toPandas()
+    # brute-force reference: exact cosine top-k restricted to the union
+    want = simsearch.cosine_topk(
+        emb.withColumn("_b", simsearch.lsh_bucket_col("embedding", planes))
+        .where(F.col("_b").isin(buckets)), qv, k=10).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+    # more probes -> candidate set grows monotonically
+    one = simsearch.lsh_topk_indexed(spark, d, qv, k=10**6, probes=1).count()
+    three = simsearch.lsh_topk_indexed(spark, d, qv, k=10**6, probes=3).count()
+    assert three >= one
