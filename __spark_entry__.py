@@ -355,6 +355,14 @@ def _q_simsearch_lsh(spark, sf_dir):
     return simsearch.lsh_topk(emb, [float(x) for x in qv], k=10, n_planes=6)
 
 
+def _q_sim_neardup_lsh(spark, sf_dir):
+    """Scale-path near-dup pairs: hyperplane-bucketed candidates, exact
+    cosine filter — the shipped operator (the crossJoin variant stays
+    as the small-scale oracle twin)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return simsearch.cosine_neardup_pairs_lsh(emb, dim=64, threshold=0.2, n_planes=6)
+
+
 def _q_multimodal(spark, sf_dir):
     # feature vector quantized to ints and comma-joined (driver
     # canonicalizer can't sort array columns).
@@ -704,6 +712,7 @@ def queries() -> dict[str, _T]:
         "langid": _q_langid,
         "simsearch_topk_cosine": _q_simsearch,
         "simsearch_neardup_pairs": _q_sim_neardup,
+        "simsearch_neardup_lsh": _q_sim_neardup_lsh,
         "simsearch_lsh_topk": _q_simsearch_lsh,
         "multimodal_features": _q_multimodal,
         "sessionize_events": _q_sessionize,
@@ -747,18 +756,22 @@ _SHINGLE5 = (
 )
 
 
-def _lsh_topk_sql(dim: int, n_planes: int, k: int) -> str:
-    """Exact oracle for lsh_topk: the hyperplanes are deterministic
-    (seeded counter hash), so the bucket of every vector — and the
-    query vector's bucket — is computable in plain SQL."""
+def _bucket_sql(dim: int, n_planes: int) -> str:
+    """Hyperplane sign-bucket expression over a DOUBLE[] column ``v`` —
+    the planes are deterministic (seeded counter hash), so buckets are
+    computable in plain SQL."""
     from bobo_spark.simsearch import hyperplanes
 
     planes = hyperplanes(dim, n_planes)
     arrs = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
-    bucket = " + ".join(
+    return " + ".join(
         f"(CASE WHEN list_dot_product(v, {arrs[i]}) > 0 THEN {1 << i} ELSE 0 END)"
         for i in range(n_planes)
     )
+
+
+def _lsh_topk_sql(dim: int, n_planes: int, k: int) -> str:
+    bucket = _bucket_sql(dim, n_planes)
     return f"""
 WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket
            FROM embeddings),
@@ -1149,6 +1162,19 @@ SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents WHERE lang = 'en'
 """,
         "simsearch_lsh_topk": _lsh_topk_sql(dim=64, n_planes=6, k=10),
+        "simsearch_neardup_lsh": f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_bucket_sql(64, 6)} AS bucket
+           FROM embeddings),
+p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.v AS va, y.v AS vb
+      FROM b x JOIN b y USING (bucket) WHERE x.vec_id < y.vec_id)
+SELECT id_a, id_b,
+       round(list_dot_product(va, vb)
+             / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 4)
+         AS cosine
+FROM p
+WHERE round(list_dot_product(va, vb)
+            / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 4) >= 0.2
+""",
         "facet_geo_box": f"""
 WITH g AS ({_geo_sql_base()}),
 hits AS (SELECT * FROM g WHERE (lat BETWEEN 2.5 AND 18.5 AND lon BETWEEN 12.5 AND 28.5)

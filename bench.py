@@ -53,6 +53,13 @@ def main() -> None:
     if not ok:
         webpages(spark, n_docs, n_partitions=cores * 2).write.mode("overwrite").parquet(src)
     docs_df = spark.read.parquet(src)
+    # JIT/Arrow warm-up on a tiny throwaway build: the metric is INDEX
+    # BUILD throughput, not first-job JVM warm-up (~15-20 s one-off)
+    warm_dir = "/tmp/bobo_bench_warm"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_snapshot(spark, docs_df.limit(2000), warm_dir,
+                   BuildConfig(docs_per_segment=1000))
+    shutil.rmtree(warm_dir, ignore_errors=True)
     t0 = time.time()
     snap = build_snapshot(
         spark,
@@ -93,10 +100,11 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     headline = [
-        "bm25_topk_and", "bm25_facet_lang", "browse_multiselect_expand",
-        "facet_groupby_flag_status", "facet_path_region", "dedup_exact",
-        "dedup_minhash_lsh", "simhash64", "simsearch_topk_cosine",
-        "token_counts", "sessionize_events",
+        "bm25_topk_and", "bm25_phrase", "bm25_recency_boost", "bm25_facet_lang",
+        "browse_multiselect_expand", "facet_groupby_flag_status",
+        "facet_path_region", "dedup_exact", "dedup_minhash_lsh", "simhash64",
+        "simsearch_topk_cosine", "simsearch_neardup_lsh", "token_counts",
+        "sessionize_events",
     ]
     qmap = entrymod.queries()
     for name in headline:

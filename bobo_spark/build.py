@@ -115,25 +115,38 @@ def unpack_meta(packed: np.ndarray):
 # ---------------------------------------------------------------- stage: docs
 
 
-def _build_dict(docs: DataFrame, col: str, parent_dict: pd.DataFrame | None) -> pd.DataFrame:
-    """Facet dictionary (ordinal, value, df, min_doc, max_doc).
+def _dict_aggs(docs: DataFrame, cols: list[str]) -> dict[str, pd.DataFrame]:
+    """Per-field (value, df, min_doc, max_doc) stats for ALL facet
+    fields in ONE job: a stack() generator unpivots the fields, one
+    tiny groupBy covers every dictionary."""
+    stacked = docs.selectExpr(
+        "doc_id",
+        "stack({}, {}) AS (field, value)".format(
+            len(cols), ", ".join(f"'{c}', {c}" for c in cols)),
+    )
+    agg = (
+        stacked.groupBy("field", "value")
+        .agg(F.count("*").alias("df"), F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+        .toPandas()
+    )
+    return {
+        c: agg[agg["field"] == c]
+        .drop(columns="field")
+        .sort_values("value", ignore_index=True)
+        for c in cols
+    }
+
+
+def _build_dict(agg: pd.DataFrame, parent_dict: pd.DataFrame | None) -> pd.DataFrame:
+    """Facet dictionary (ordinal, value, df, min_doc, max_doc) from the
+    per-field stats frame.
 
     Value-sorted on first build (Bobo's sorted TermValueList,
     facets/data/TermValueList.java:114); incremental snapshots append
     new values after the parent max ordinal for forward-index
     stability.
     """
-    agg = (
-        docs.groupBy(col)
-        .agg(
-            F.count("*").alias("df"),
-            F.min("doc_id").alias("min_doc"),
-            F.max("doc_id").alias("max_doc"),
-        )
-        .orderBy(col)
-        .toPandas()
-        .rename(columns={col: "value"})
-    )
     if parent_dict is None or parent_dict.empty:
         agg.insert(0, "ordinal", np.arange(1, len(agg) + 1))  # ordinal 0 = missing (Bobo convention)
         return agg
@@ -327,11 +340,16 @@ def build_snapshot(
         snap = cat.begin_snapshot()
     sid = snap.snapshot_id
 
-    if "text" not in docs.columns:
+    # text already a column => the doc table stays SLIM (ords + n_bytes,
+    # no text rewrite — the pairs stage re-reads text from the caller's
+    # frame). Only html-extracted text is materialized (extract once).
+    have_text = "text" in docs.columns
+    if not have_text:
         docs = docs.withColumn("text", extract_text("html"))
+    ts_col = F.date_format(
+        F.date_trunc(cfg.ts_bucket, "warc_ts"), "yyyy-MM-dd").alias("ts_bucket")
 
     docs_path = cat.table_path("_docs", sid)
-    dicts_dir = cat.table_path("_dicts", sid)
 
     # ---- stage: docs + dictionaries -------------------------------------
     if "docs" not in snap.stages:
@@ -339,16 +357,12 @@ def build_snapshot(
         if parent is not None:
             parent_lang = spark.read.parquet(*cat.table_paths(parent, "dict_lang")).toPandas()
             parent_ts = spark.read.parquet(*cat.table_paths(parent, "dict_ts_bucket")).toPandas()
-        base = docs.select(
-            "doc_id",
-            "url",
-            "text",
-            "lang",
-            F.date_format(F.date_trunc(cfg.ts_bucket, "warc_ts"), "yyyy-MM-dd").alias("ts_bucket"),
-        )
-        base = base.persist()
-        lang_dict = _build_dict(base, "lang", parent_lang)
-        ts_dict = _build_dict(base, "ts_bucket", parent_ts)
+        base = docs.select("doc_id", "url", "text", "lang", ts_col)
+        # both dictionaries from ONE stacked aggregation job
+        aggs = _dict_aggs(base.select("doc_id", "lang", "ts_bucket"),
+                          ["lang", "ts_bucket"])
+        lang_dict = _build_dict(aggs["lang"], parent_lang)
+        ts_dict = _build_dict(aggs["ts_bucket"], parent_ts)
         for name, d in (("dict_lang", lang_dict), ("dict_ts_bucket", ts_dict)):
             spark.createDataFrame(
                 d.astype({"ordinal": "int64", "df": "int64", "min_doc": "int64", "max_doc": "int64"})
@@ -359,14 +373,15 @@ def build_snapshot(
         ts_map = spark.createDataFrame(ts_dict[["ordinal", "value"]]).withColumnsRenamed(
             {"ordinal": "ts_ord", "value": "ts_bucket"}
         )
+        keep_text = [] if have_text else ["text"]
         (
             base.join(F.broadcast(lang_map), "lang")
             .join(F.broadcast(ts_map), "ts_bucket")
-            .select("doc_id", "url", "text", "lang_ord", "ts_ord", _segment_col(cfg))
+            .select("doc_id", "url", F.length("text").alias("n_bytes"),
+                    "lang_ord", "ts_ord", _segment_col(cfg), *keep_text)
             .write.mode("overwrite")
             .parquet(docs_path)
         )
-        base.unpersist()
         cat.mark_stage(snap, "docs")
 
     docs_t = spark.read.parquet(docs_path)
@@ -419,7 +434,24 @@ def build_snapshot(
                 yield pd.concat([out, sent], ignore_index=True)
 
         pairs_schema = "doc_id long, term string, packed long, segment long, pos_bytes binary"
-        docs_t.mapInPandas(to_pairs, schema=pairs_schema).write.mode("overwrite").parquet(pairs_path)
+        if have_text:
+            # slim-docs path: ords/segment recomputed from the caller's
+            # frame + broadcast dict maps — text is never rewritten
+            lang_map = (
+                spark.read.parquet(cat.table_path("dict_lang", sid))
+                .select(F.col("ordinal").alias("lang_ord"), F.col("value").alias("lang")))
+            ts_map = (
+                spark.read.parquet(cat.table_path("dict_ts_bucket", sid))
+                .select(F.col("ordinal").alias("ts_ord"), F.col("value").alias("ts_bucket")))
+            pair_src = (
+                docs.select("doc_id", "text", "lang", ts_col)
+                .join(F.broadcast(lang_map), "lang")
+                .join(F.broadcast(ts_map), "ts_bucket")
+                .select("doc_id", "text", "lang_ord", "ts_ord", _segment_col(cfg))
+            )
+        else:
+            pair_src = docs_t
+        pair_src.mapInPandas(to_pairs, schema=pairs_schema).write.mode("overwrite").parquet(pairs_path)
         cat.mark_stage(snap, "pairs")
 
     pairs = spark.read.parquet(pairs_path)
@@ -458,7 +490,7 @@ def build_snapshot(
     if "stats" not in snap.stages:
         agg = docs_t.select(
             F.count("*").alias("n"),
-            F.sum(F.length("text")).alias("bytes"),
+            F.sum("n_bytes").alias("bytes"),
         ).collect()[0]
         # corpus token count = Σ cf over the (merged) term dictionary —
         # a scan of the small terms table, not of the pairs. Facet

@@ -451,7 +451,12 @@ class IndexReader:
         self.n_docs = self.snap.stats["n_docs"]
         self.avgdl = self.snap.stats["avgdl"]
         self._terms = self.spark.read.parquet(*self.catalog.table_paths(self.snap, "terms"))
-        self._postings = self.spark.read.parquet(*self.catalog.table_paths(self.snap, "postings"))
+        self._postings_full = self.spark.read.parquet(
+            *self.catalog.table_paths(self.snap, "postings"))
+        # non-phrase queries never read the positions stream — keep the
+        # hot cache pruned so it pins only the scoring columns
+        self._postings = self._postings_full.drop("pos_bytes") \
+            if "pos_bytes" in self._postings_full.columns else self._postings_full
         self._forward = self.spark.read.parquet(*self.catalog.table_paths(self.snap, "forward"))
         self._terms_pd = None
         if cache:
@@ -590,7 +595,10 @@ class IndexReader:
                         and len(tids) < len(plan["terms"])):
             return self.spark.createDataFrame([], OUT_SCHEMA)
         tids = tids + plan.get("sel_lang_tids", []) + plan.get("sel_ts_tids", [])
-        blocks = self._postings.where(F.col("term_id").isin(tids))
+        # positions stream only for phrase verification (largest column;
+        # pruned out of the hot cache entirely)
+        src = self._postings_full if plan["mode"] == "phrase" else self._postings
+        blocks = src.where(F.col("term_id").isin(tids))
         return blocks.groupBy("segment").applyInPandas(
             lambda pdf: _segment_search(pdf, plan), schema=OUT_SCHEMA
         )
@@ -668,7 +676,10 @@ class IndexReader:
                     return e
                 return pd.concat(outs, ignore_index=True)
 
-            blocks = self._postings.where(F.col("term_id").isin(all_tids))
+            src = (self._postings_full
+                   if any(p["mode"] == "phrase" for _, p in runnable_plans)
+                   else self._postings)
+            blocks = src.where(F.col("term_id").isin(all_tids))
             out = blocks.groupBy("segment").applyInPandas(
                 run_segment, schema=out_schema
             ).toPandas()
@@ -713,5 +724,10 @@ class IndexReader:
             .select("doc_id", "score")
         )
         if with_url:
-            hits = hits.join(self._forward.select("doc_id", "url"), "doc_id", "left")
+            # hits is ≤ offset+k rows — broadcast it so the stored-field
+            # fetch never shuffles the forward table (SURVEY §2.1).
+            # Inner join: every indexed doc has a forward row, and only
+            # inner joins support a broadcast LEFT build side.
+            hits = F.broadcast(hits).join(
+                self._forward.select("doc_id", "url"), "doc_id")
         return hits

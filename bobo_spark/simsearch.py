@@ -63,6 +63,34 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     )
 
 
+def cosine_neardup_pairs_lsh(df: DataFrame, dim: int, threshold: float = 0.95,
+                             n_planes: int = 8, seed: int = 7,
+                             max_bucket_size: int | None = None,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs at scale: candidates share a hyperplane
+    sign bucket (one shuffle on the bucket key — never O(N²)), then the
+    exact cosine filter runs on candidates only. Deterministic (seeded
+    planes) so an exact oracle exists. ``max_bucket_size`` caps a
+    degenerate bucket via min-id representative pairing (same policy as
+    textops._bucket_pairs)."""
+    from .textops import _bucket_pairs
+
+    planes = hyperplanes(dim, n_planes, seed)
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        _dvec(F.col(vec_col)).alias("sig"),
+        F.lit(0).alias("band"),
+        lsh_bucket_col(vec_col, planes).alias("bucket"),
+    )
+    pairs = _bucket_pairs(banded, max_bucket_size)
+    cos = _dot(F.col("sig_a"), F.col("sig_b")) / (_norm(F.col("sig_a")) * _norm(F.col("sig_b")))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 12, seed: int = 7) -> np.ndarray:
     """Deterministic pseudo-random unit hyperplanes (counter-hashed)."""
     ctr = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(seed * 1_000_003)

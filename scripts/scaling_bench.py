@@ -47,6 +47,14 @@ def run_level(cores: int, n_docs: int, n_queries: int = 40) -> dict:
     if not ok:
         webpages(spark, n_docs, n_partitions=64).write.mode("overwrite").parquet(src)
     docs_df = spark.read.parquet(src)
+    # JIT/Arrow warm-up on a tiny throwaway build (~15-20 s one-off,
+    # CONSTANT per session — left in the timed region it deflates the
+    # fast leg's throughput and with it the measured efficiency; the
+    # metric is steady-state build throughput)
+    warm = f"/tmp/bobo_scaling_warm_{cores}"
+    shutil.rmtree(warm, ignore_errors=True)
+    build_snapshot(spark, docs_df.limit(2000), warm, BuildConfig(docs_per_segment=1000))
+    shutil.rmtree(warm, ignore_errors=True)
     t0 = time.time()
     build_snapshot(
         spark,
