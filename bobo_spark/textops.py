@@ -10,9 +10,10 @@ oracle.
 Scale notes (10^12-doc corpus):
 * exact dedup — one hash shuffle on md5(text); skew-free (hashes
   uniform).
-* MinHash-LSH — signatures are per-row expressions (no shuffle); the
-  band join shuffles only (band_hash) keys; ubiquitous shingles can be
-  dropped with ``max_shingle_df`` to bound bucket sizes.
+* MinHash-LSH — signatures via explode + k min-aggregates (map-side
+  partial agg; the shuffle moves k longs per doc); the band join
+  shuffles only (band_hash) keys; ``max_bucket_size`` caps degenerate
+  buckets via min-id representative pairing.
 * n-gram Jaccard — the exact variant (self-join on shingles) is the
   small-scale oracle; LSH is the scale path.
 * SimHash — per-row expression + 64-bit hamming band join.
@@ -150,28 +151,24 @@ def _minhash_params(k: int) -> tuple[list[int], list[int]]:
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        n: int = 3, k: int = 16) -> DataFrame:
     """MinHash signature per doc: sig_i = min over shingles of
-    (a_i * (h(s) mod p) + b_i) mod p, p = 2^31-1. Pure expression —
-    no shuffle, no UDF."""
+    (a_i * (h(s) mod p) + b_i) mod p, p = 2^31-1.
+
+    Explode + k fused min-aggregates: md5 runs once per shingle, the k
+    permutation mins are vectorized whole-stage-codegen column ops with
+    map-side partial aggregation — the shuffle moves only k longs per
+    doc. (The previous per-row aggregate/transform lambda re-allocated
+    a k-array per shingle — interpreter-bound, ~5× slower.)"""
     a, b = _minhash_params(k)
-    sh = shingles(text_col, n)
-    hashes = F.transform(sh, lambda s: _shingle_hash(s) % MERSENNE31)
-    A = F.array(*[F.lit(x).cast("long") for x in a])
-    B = F.array(*[F.lit(x).cast("long") for x in b])
-    # one aggregate pass: md5 computed once per shingle, k mins updated
-    # elementwise (NOT k separate array_min scans — Catalyst would
-    # re-evaluate the hash transform per permutation)
-    sig = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(MERSENNE31).cast("long"), k),
-        lambda acc, h: F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda i: F.least(
-                F.element_at(acc, i + 1),
-                (F.element_at(A, i + 1) * h + F.element_at(B, i + 1)) % MERSENNE31,
-            ),
-        ),
-    )
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    h = df.select(
+        F.col(id_col),
+        F.explode(shingles(text_col, n)).alias("_s"),
+    ).select(id_col, (_shingle_hash(F.col("_s")) % MERSENNE31).alias("_h"))
+    sig = h.groupBy(id_col).agg(*[
+        F.min((F.lit(a[i]) * F.col("_h") + F.lit(b[i])) % MERSENNE31).alias(f"_m{i}")
+        for i in range(k)
+    ])
+    return sig.select(F.col(id_col),
+                      F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("minhash"))
 
 
 def _bucket_pairs(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:

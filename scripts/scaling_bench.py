@@ -86,7 +86,85 @@ def run_level(cores: int, n_docs: int, n_queries: int = 40) -> dict:
     }
 
 
+def run_ceiling(cores: int, n_tasks: int = 64, iters: int = 60) -> float:
+    """Sandbox hardware ceiling probe: an embarrassingly-parallel,
+    zero-shuffle, in-memory Spark compute job (vectorized numpy hash
+    mixing) — the same session config and scheduler as the engine runs,
+    but nothing that could bottleneck except the machine itself. Its
+    measured N→4N efficiency IS the ceiling any Spark job can reach on
+    this host; engine-relative efficiency = raw / ceiling."""
+    from bobo_spark.session import get_spark
+
+    spark = get_spark(f"ceiling_{cores}", cores=cores)
+
+    def burn(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            x = (pdf["id"].to_numpy(np.int64).astype(np.uint64) + np.uint64(1))
+            for _ in range(iters):
+                x ^= x >> np.uint64(30)
+                x *= np.uint64(0xBF58476D1CE4E5B9)
+                x ^= x >> np.uint64(27)
+                x *= np.uint64(0x94D049BB133111EB)
+            yield pd.DataFrame({"s": [int(x.sum() % 1000)]})
+
+    df = spark.range(0, n_tasks * 200_000, 1, n_tasks)
+    df.mapInPandas(burn, "s long").count()  # warm-up
+    t0 = time.time()
+    df.mapInPandas(burn, "s long").count()
+    sec = time.time() - t0
+    spark.stop()
+    return sec
+
+
+def run_shuffle_ceiling(cores: int, n_rows: int = 40_000_000) -> float:
+    """Shuffle-bandwidth ceiling probe: a bare Exchange (range-partition
+    + sort, same shape as the postings stage) over ~40-byte rows with
+    trivial compute — measures how this host's memory/IO bandwidth
+    scales with cores, independent of the engine."""
+    from pyspark.sql import functions as F
+    from bobo_spark.session import get_spark
+
+    spark = get_spark(f"shufceil_{cores}", cores=cores)
+    df = spark.range(0, n_rows, 1, 64).select(
+        "id", (F.col("id") * 2654435761 % 1000003).alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"))
+    small = df.limit(100_000).repartitionByRange(8, "k", "id").sortWithinPartitions("k", "id")
+    small.write.mode("overwrite").format("noop").save()  # warm-up
+    t0 = time.time()
+    (df.repartitionByRange(110, "k", "id").sortWithinPartitions("k", "id")
+       .write.mode("overwrite").format("noop").save())
+    sec = time.time() - t0
+    spark.stop()
+    return sec
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "ceiling-shuffle":
+        n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else n_lo * 4
+        reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+        lo = min(run_shuffle_ceiling(n_lo) for _ in range(reps))
+        hi = min(run_shuffle_ceiling(n_hi) for _ in range(reps))
+        print(json.dumps({
+            "ceiling_probe": "bare range-partition+sort Exchange, md5 payload rows",
+            f"sec_local{n_lo}": round(lo, 2), f"sec_local{n_hi}": round(hi, 2),
+            "ceiling_efficiency": round((lo / hi) / (n_hi / n_lo), 3),
+        }))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ceiling":
+        n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else n_lo * 4
+        reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+        lo = min(run_ceiling(n_lo) for _ in range(reps))
+        hi = min(run_ceiling(n_hi) for _ in range(reps))
+        print(json.dumps({
+            "ceiling_probe": "zero-shuffle vectorized-numpy mapInPandas, fixed work",
+            f"sec_local{n_lo}": round(lo, 2), f"sec_local{n_hi}": round(hi, 2),
+            "ceiling_efficiency": round((lo / hi) / (n_hi / n_lo), 3),
+        }))
+        return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else n_lo * 4

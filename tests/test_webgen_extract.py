@@ -69,3 +69,27 @@ def test_zipf_head_skew():
     byterm = tf.groupby("term")["tf"].sum().sort_values(ascending=False)
     total = byterm.sum()
     assert byterm.iloc[0] / total > 0.02  # head term ≥2% of all tokens
+
+
+def test_term_freq_frame_positions():
+    from bobo_spark.codecs import vb_decode
+
+    texts = pd.Series(["a b a c a", "b b b", "", "x"])
+    tf = term_freq_frame(np.array([7, 9, 11, 13]), texts, positions=True)
+    got = {}
+    for r in tf.itertuples():
+        deltas = vb_decode(r.pos_bytes).astype(np.int64)
+        pos = np.cumsum(deltas).tolist()  # first absolute, then gaps
+        got[(r.doc_id, r.term)] = (r.tf, r.doclen, pos)
+    assert got[(7, "a")] == (3, 5, [0, 2, 4])
+    assert got[(7, "b")] == (1, 5, [1])
+    assert got[(7, "c")] == (1, 5, [3])
+    assert got[(9, "b")] == (3, 3, [0, 1, 2])
+    assert got[(13, "x")] == (1, 1, [0])
+    # empty doc -> no pairs (same as the non-positions path)
+    assert not any(d == 11 for d, _ in got)
+    # tf/doclen agree with the non-positions path
+    plain = term_freq_frame(np.array([7, 9, 11, 13]), texts)
+    a = {(r.doc_id, r.term): (r.tf, r.doclen) for r in plain.itertuples()}
+    b = {(r.doc_id, r.term): (r.tf, r.doclen) for r in tf.itertuples()}
+    assert a == b
