@@ -493,12 +493,14 @@ def build_snapshot(
             F.sum("n_bytes").alias("bytes"),
         ).collect()[0]
         # corpus token count = Σ cf over the (merged) term dictionary —
-        # a scan of the small terms table, not of the pairs. Facet
-        # sentinel terms ('\x00...') are NOT text tokens: exclude.
-        tok_sum = (
-            terms.where(~F.col("term").startswith("\x00"))
-            .agg(F.sum("cf")).collect()[0][0] or 0
-        )
+        # a scan of the small terms table, not of the pairs; term count
+        # rides the same job (reused by postings + publish, no re-count).
+        # Facet sentinel terms ('\x00...') are NOT text tokens: exclude.
+        trow = terms.agg(
+            F.sum(F.when(~F.col("term").startswith("\x00"), F.col("cf"))).alias("tok"),
+            F.count("*").alias("n_terms"),
+        ).collect()[0]
+        tok_sum = trow["tok"] or 0
         n_docs = agg["n"] + (parent.stats["n_docs"] if parent else 0)
         snap.stats.update(
             {
@@ -507,6 +509,7 @@ def build_snapshot(
                 "avgdl": float(tok_sum) / max(1, n_docs),
                 "new_docs": int(agg["n"]),
                 "new_bytes": int(agg["bytes"] or 0),
+                "n_terms": int(trow["n_terms"]),
             }
         )
         cat.mark_stage(snap, "stats")
@@ -521,7 +524,7 @@ def build_snapshot(
             spark.sparkContext.defaultParallelism,
             math.ceil(n_pairs / cfg.rows_per_posting_partition),
         )
-        n_terms = terms.count()
+        n_terms = snap.stats.get("n_terms") or terms.count()
         tmap = terms.select("term", "term_id")
         if n_terms <= cfg.broadcast_terms_threshold:
             tmap = F.broadcast(tmap)
@@ -588,7 +591,8 @@ def build_snapshot(
     # ---- publish ----------------------------------------------------------
     if "published" not in snap.stages:
         snap.stats.update(extra_stats or {})
-        snap.stats["n_terms"] = terms.count()
+        if "n_terms" not in snap.stats:
+            snap.stats["n_terms"] = terms.count()
         snap.stats["n_segments"] = int(
             spark.read.parquet(meta_path).count()
             + (parent.stats.get("n_segments", 0) if parent else 0)
