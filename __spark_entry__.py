@@ -1,12 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Every entry routes through the bobo_spark engine (SURVEY.md §2
-operators): BM25 top-k search over a real inverted-index build, the
-Bobo-semantics facet browse engine, and the training-data pipeline
-operators (dedup / similarity / text analysis / multimodal plumbing).
-Each ``queries()`` item has a matching ANSI-SQL oracle in
-``oracle_sql()`` unless the operator is inherently approximate
-(LSH candidate generation), where the driver's rows-only check applies.
+operators): BM25 top-k search (incl. phrase + recency boost) over a
+real inverted-index build, the Bobo-semantics facet browse engine, and
+the training-data pipeline operators (dedup / similarity / text
+analysis / multimodal plumbing). EVERY ``queries()`` item has a
+matching ANSI-SQL oracle in ``oracle_sql()`` — the LSH operators
+included (hashes are md5-derived and hyperplanes seeded, so candidate
+generation is deterministic and exactly reproducible in DuckDB).
 """
 
 from __future__ import annotations
