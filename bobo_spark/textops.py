@@ -282,7 +282,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash from md5-derived token bits (pure expression).
 
-    bit_i(doc) = 1 iff Σ over distinct tokens of (2*((h(t)>>i)&1)-1) > 0."""
+    bit_i(doc) = 1 iff Σ over distinct tokens of (2*((h(t)>>i)&1)-1) > 0.
+    Per-row fold, NO shuffle — measured 3× faster than the explode +
+    60-aggregate alternative (unlike minhash, whose per-row form
+    re-allocated a k-array per shingle)."""
     toks = F.array_distinct(tokens(text_col))
     hs = F.transform(toks, _shingle_hash)
     pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(60)])
