@@ -13,6 +13,7 @@ generation is deterministic and exactly reproducible in DuckDB).
 from __future__ import annotations
 
 import hashlib
+import os
 import shutil
 from collections.abc import Callable
 
@@ -304,7 +305,10 @@ def _q_dedup_jaccard(spark, sf_dir):
 
 def _q_dedup_minhash(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
-    return textops.minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
+    # max_bucket_size=None: the oracle demands the EXACT uncapped
+    # expansion; production callers keep the capped default
+    return textops.minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2,
+                                     max_bucket_size=None)
 
 
 def _q_minhash_sigs(spark, sf_dir):
@@ -356,12 +360,35 @@ def _q_simsearch_lsh(spark, sf_dir):
     return simsearch.lsh_topk(emb, [float(x) for x in qv], k=10, n_planes=6)
 
 
+_LSH_IDX_CACHE: dict[str, str] = {}
+
+
+def _q_simsearch_lsh_indexed(spark, sf_dir):
+    """ANN top-k over the MATERIALIZED bucket-partitioned LSH index
+    (simsearch.build_lsh_index): the query reads only its probed
+    partition — the 100-TB ANN path. Oracle: identical bucket
+    arithmetic over the flat table (buckets are a deterministic
+    function of the seeded hyperplanes)."""
+    key = sf_dir.rstrip("/")
+    d = _LSH_IDX_CACHE.get(key)
+    if d is None:
+        d = f"/tmp/bobo_spark_lshidx_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+        if not os.path.exists(os.path.join(d, "meta.json")):
+            simsearch.build_lsh_index(
+                _load(spark, sf_dir, "embeddings"), d, dim=64, n_planes=6)
+        _LSH_IDX_CACHE[key] = d
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    return simsearch.lsh_topk_indexed(spark, d, qv, k=10)
+
+
 def _q_sim_neardup_lsh(spark, sf_dir):
     """Scale-path near-dup pairs: hyperplane-bucketed candidates, exact
     cosine filter — the shipped operator (the crossJoin variant stays
     as the small-scale oracle twin)."""
     emb = _load(spark, sf_dir, "embeddings")
-    return simsearch.cosine_neardup_pairs_lsh(emb, dim=64, threshold=0.2, n_planes=6)
+    return simsearch.cosine_neardup_pairs_lsh(emb, dim=64, threshold=0.2,
+                                              n_planes=6, max_bucket_size=None)
 
 
 def _q_multimodal(spark, sf_dir):
@@ -595,7 +622,8 @@ def _q_group_multilevel(spark, sf_dir):
 
 def _q_dedup_simhash_pairs(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
-    return textops.simhash_neardup_pairs(docs, max_hamming=3).withColumn(
+    return textops.simhash_neardup_pairs(docs, max_hamming=3,
+                                         max_bucket_size=None).withColumn(
         "hamming", F.col("hamming").cast("long"))
 
 
@@ -715,6 +743,7 @@ def queries() -> dict[str, _T]:
         "simsearch_neardup_pairs": _q_sim_neardup,
         "simsearch_neardup_lsh": _q_sim_neardup_lsh,
         "simsearch_lsh_topk": _q_simsearch_lsh,
+        "simsearch_lsh_topk_indexed": _q_simsearch_lsh_indexed,
         "multimodal_features": _q_multimodal,
         "sessionize_events": _q_sessionize,
         "facet_filtered_range": _q_filtered_range,
@@ -771,12 +800,12 @@ def _bucket_sql(dim: int, n_planes: int) -> str:
     )
 
 
-def _lsh_topk_sql(dim: int, n_planes: int, k: int) -> str:
+def _lsh_topk_sql(dim: int, n_planes: int, k: int, qid: int = 0) -> str:
     bucket = _bucket_sql(dim, n_planes)
     return f"""
 WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket
            FROM embeddings),
-q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = {qid})
 SELECT vec_id,
        round(list_dot_product(v, qv)
              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4)
@@ -1163,6 +1192,7 @@ SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents WHERE lang = 'en'
 """,
         "simsearch_lsh_topk": _lsh_topk_sql(dim=64, n_planes=6, k=10),
+        "simsearch_lsh_topk_indexed": _lsh_topk_sql(dim=64, n_planes=6, k=10, qid=7),
         "simsearch_neardup_lsh": f"""
 WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_bucket_sql(64, 6)} AS bucket
            FROM embeddings),

@@ -331,6 +331,16 @@ def build_snapshot(
     ``extra_stats`` (e.g. a stream batch id) is stamped on the snapshot
     stats in the SAME manifest write that publishes it, so dedup
     markers and the publish commit are atomic.
+
+    DETERMINISM REQUIREMENT (text-bearing inputs): when ``docs``
+    already carries a ``text`` column, the doc table stays slim and
+    the pairs stage re-evaluates the CALLER'S frame — the input plan
+    must therefore be deterministic (no ``monotonically_increasing_id``
+    doc_ids, no un-seeded ``rand``/``sample``/``limit`` upstream), or
+    the doc table and the postings can disagree on the doc_id→text
+    mapping. Reading from storage (parquet/Iceberg) is deterministic;
+    for anything synthetic, ``persist()`` or checkpoint the frame
+    first. html-only inputs are immune (text is materialized once).
     """
     cfg = cfg or BuildConfig()
     cat = IndexCatalog(index_dir)
@@ -510,6 +520,9 @@ def build_snapshot(
                 "new_docs": int(agg["n"]),
                 "new_bytes": int(agg["bytes"] or 0),
                 "n_terms": int(trow["n_terms"]),
+                # recorded so the query planner can reject phrase
+                # queries driver-side instead of failing in an executor
+                "store_positions": bool(cfg.store_positions),
             }
         )
         cat.mark_stage(snap, "stats")

@@ -179,8 +179,13 @@ class BoboBrowser:
             allp = list(preds.values()) + ([qpred] if qpred is not None else [])
             fhits = self.df.where(_combine_and(allp)) if allp else self.df
         unfiltered = not req.selections and req.query is None and base is None
-        if unfiltered and fld in self._collectall_cache:
-            rows, ddl = self._collectall_cache[fld]
+        # cache key carries the one spec-dependent bit baked into
+        # handler.counts (min_hits<=0 adds the zero-count universe
+        # join): a min_hits=1 entry must never serve a min_hits=0
+        # request, which would silently drop all zero-count values
+        cache_key = (fld, spec.min_hits <= 0)
+        if unfiltered and cache_key in self._collectall_cache:
+            rows, ddl = self._collectall_cache[cache_key]
             counts = self.df.sparkSession.createDataFrame(rows, ddl)
         else:
             counts = h.counts(fhits, spec, self.df, own_sel)
@@ -188,7 +193,7 @@ class BoboBrowser:
                 ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                                 for f in counts.schema.fields)
                 rows = [tuple(r) for r in counts.collect()]
-                self._collectall_cache[fld] = (rows, ddl)
+                self._collectall_cache[cache_key] = (rows, ddl)
                 counts = self.df.sparkSession.createDataFrame(rows, ddl)
         if spec.min_hits > 0:
             counts = counts.where(F.col("count") >= spec.min_hits)

@@ -117,12 +117,24 @@ def _decode_docs(b: pd.DataFrame) -> np.ndarray:
     return cums - np.repeat(cums[starts], nds) + np.repeat(firsts, nds)
 
 
-def _decode_term_blocks(b: pd.DataFrame):
+def _decode_docs_blocks(b: pd.DataFrame):
+    """_decode_docs plus per-block offsets into the decoded array, so
+    a later pass can re-slice surviving blocks without re-decoding."""
+    docs = _decode_docs(b)
+    nds = b["n_docs"].to_numpy(np.int64)
+    offs = np.concatenate(([0], np.cumsum(nds)))
+    return docs, offs
+
+
+def _decode_term_blocks(b: pd.DataFrame, docs: np.ndarray | None = None):
     """Decode all blocks of one term (sorted by first_doc) at once.
 
     Returns (docs, tf, dl, lang, ts) int64 arrays, docs ascending.
+    ``docs`` may be passed pre-decoded (pruned-OR mode reuses the
+    counting pass's docID decode instead of paying it twice).
     """
-    docs = _decode_docs(b)
+    if docs is None:
+        docs = _decode_docs(b)
     tf = vb_decode(b"".join(b["tf_bytes"])).astype(np.int64)
     dl = vb_decode(b"".join(b["dl_bytes"])).astype(np.int64)
     lang = vb_decode(b"".join(b["lang_bytes"])).astype(np.int64)
@@ -213,7 +225,8 @@ def _block_bound(g: pd.DataFrame, idf_t: float, avgdl: float) -> np.ndarray:
                         g["min_dl"].to_numpy(np.float64), idf_t, avgdl)
 
 
-def _blockmax_prune(groups: dict, present: list, k: int, avgdl: float) -> dict:
+def _blockmax_prune(groups: dict, present: list, k: int, avgdl: float,
+                    doc_cache: dict | None = None):
     """Block-max two-phase pruning for disjunctive top-k.
 
     θ = k-th largest exact single-term contribution of the
@@ -229,10 +242,13 @@ def _blockmax_prune(groups: dict, present: list, k: int, avgdl: float) -> dict:
               for t in present}
     gmax = {tid: (b.max() if b.size else 0.0) for tid, b in bounds.items()}
     tstar = max(present, key=lambda t: t["idf"])
-    docs, tf, dl, _lang, _ts = _decode_term_blocks(groups[tstar["term_id"]])
+    star_docs = doc_cache[tstar["term_id"]][0] if doc_cache else None
+    docs, tf, dl, _lang, _ts = _decode_term_blocks(
+        groups[tstar["term_id"]], docs=star_docs)
     c = bm25.contrib(tf, dl, tstar["idf"], avgdl)
+    keeps: dict = {}
     if c.size < k:
-        return groups
+        return groups, keeps
     theta = np.partition(c, c.size - k)[c.size - k]
     out = {}
     for t in present:
@@ -243,7 +259,8 @@ def _blockmax_prune(groups: dict, present: list, k: int, avgdl: float) -> dict:
         cross = sum(gmax[o["term_id"]] for o in present if o["term_id"] != tid)
         keep = (bounds[tid] + cross) >= theta
         out[tid] = groups[tid][keep]
-    return out
+        keeps[tid] = keep
+    return out, keeps
 
 
 def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
@@ -288,17 +305,22 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
         and not plan.get("recency")
     )
     n_hits_exact = None
+    doc_cache: dict = {}
+    keep_masks: dict = {}
     if pruned_mode:
         # exact hit count BEFORE pruning: union of doc streams only
         # (tf/meta streams of dropped blocks stay undecoded, so the
         # pruning still pays — this fixes num_hits undercounting docs
-        # that lived only in dropped blocks)
-        doc_arrays = [_decode_docs(groups[t["term_id"]]) for t in present
-                      if len(groups[t["term_id"]])]
+        # that lived only in dropped blocks). The decoded streams are
+        # CACHED with block offsets and re-sliced for surviving blocks
+        # below — the docID decode is paid exactly once.
+        doc_cache = {t["term_id"]: _decode_docs_blocks(groups[t["term_id"]])
+                     for t in present if len(groups[t["term_id"]])}
         n_hits_exact = (
-            int(np.unique(np.concatenate(doc_arrays)).size) if doc_arrays else 0
+            int(np.unique(np.concatenate([d for d, _ in doc_cache.values()])).size)
+            if doc_cache else 0
         )
-        groups = _blockmax_prune(groups, present, k, avgdl)
+        groups, keep_masks = _blockmax_prune(groups, present, k, avgdl, doc_cache)
 
     decoded = {}
     for t in present:
@@ -307,7 +329,17 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
             if conj:
                 return _empty_out()
             continue
-        decoded[t["term_id"]] = _decode_term_blocks(g)
+        pre = None
+        if t["term_id"] in doc_cache:
+            docs_all, offs = doc_cache[t["term_id"]]
+            keep = keep_masks.get(t["term_id"])
+            if keep is None:
+                pre = docs_all
+            else:
+                idx = np.flatnonzero(keep)
+                pre = (np.concatenate([docs_all[offs[i]:offs[i + 1]] for i in idx])
+                       if idx.size else np.zeros(0, dtype=np.int64))
+        decoded[t["term_id"]] = _decode_term_blocks(g, docs=pre)
     present = [t for t in present if t["term_id"] in decoded]
     if not present:
         return _empty_out()
@@ -589,6 +621,16 @@ class IndexReader:
 
     # --------------------------------------------------------------- execution
 
+    def _require_positions(self) -> None:
+        """Plan-time guard: a phrase/section query against an index
+        built with store_positions=False must fail on the DRIVER with
+        the real reason, not as a pandas KeyError inside an executor."""
+        if ("pos_bytes" not in self._postings_full.columns
+                or not self.snap.stats.get("store_positions", True)):
+            raise ValueError(
+                "index built with store_positions=False cannot serve "
+                "phrase queries (no positions stream)")
+
     def _segment_outputs(self, plan: dict) -> DataFrame:
         tids = [t["term_id"] for t in plan["terms"] if t["term_id"] >= 0]
         if not tids or (plan["mode"] in ("and", "phrase")
@@ -597,6 +639,8 @@ class IndexReader:
         tids = tids + plan.get("sel_lang_tids", []) + plan.get("sel_ts_tids", [])
         # positions stream only for phrase verification (largest column;
         # pruned out of the hot cache entirely)
+        if plan["mode"] == "phrase":
+            self._require_positions()
         src = self._postings_full if plan["mode"] == "phrase" else self._postings
         blocks = src.where(F.col("term_id").isin(tids))
         return blocks.groupBy("segment").applyInPandas(
@@ -676,6 +720,8 @@ class IndexReader:
                     return e
                 return pd.concat(outs, ignore_index=True)
 
+            if any(p["mode"] == "phrase" for _, p in runnable_plans):
+                self._require_positions()
             src = (self._postings_full
                    if any(p["mode"] == "phrase" for _, p in runnable_plans)
                    else self._postings)

@@ -65,15 +65,15 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
 
 def cosine_neardup_pairs_lsh(df: DataFrame, dim: int, threshold: float = 0.95,
                              n_planes: int = 8, seed: int = 7,
-                             max_bucket_size: int | None = None,
+                             max_bucket_size: int | None = 1000,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:
     """Embedding near-dup pairs at scale: candidates share a hyperplane
     sign bucket (one shuffle on the bucket key — never O(N²)), then the
     exact cosine filter runs on candidates only. Deterministic (seeded
     planes) so an exact oracle exists. ``max_bucket_size`` caps a
-    degenerate bucket via min-id representative pairing (same policy as
-    textops._bucket_pairs)."""
+    degenerate bucket via min-id representative pairing (same policy
+    and default as textops._bucket_pairs; None = exact uncapped)."""
     from .textops import _bucket_pairs
 
     planes = hyperplanes(dim, n_planes, seed)

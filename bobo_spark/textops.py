@@ -148,6 +148,15 @@ def _minhash_params(k: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+# Default within-bucket expansion cap for the banded-LSH pair
+# generators below. A degenerate bucket (a giant duplicate cluster at
+# crawl scale) would otherwise expand O(c^2); past the cap, members
+# pair only with the bucket's min-id representative (connectivity
+# preserved — see _bucket_pairs). Pass max_bucket_size=None for the
+# EXACT uncapped expansion (the oracle-equality variant).
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        n: int = 3, k: int = 16) -> DataFrame:
     """MinHash signature per doc: sig_i = min over shingles of
@@ -212,14 +221,15 @@ def _bucket_pairs(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       n: int = 3, k: int = 16, bands: int = 4,
                       threshold: float = 0.5,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     Bands of r = k/bands rows; docs sharing any band bucket become
     candidates; est_jaccard = matching signature fraction; pairs kept
     at est_jaccard >= threshold. Shuffle cost: one exchange on
     band_hash. ``max_bucket_size`` caps within-bucket expansion (see
-    ``_bucket_pairs``) — set it at corpus scale."""
+    ``_bucket_pairs``) — capped by DEFAULT (the scale-safe path);
+    pass None for the exact uncapped oracle variant."""
     r = k // bands
     sigs = minhash_signatures(df, id_col, text_col, n, k)
     banded = sigs.select(
@@ -313,13 +323,14 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                           max_hamming: int = 3,
-                          max_bucket_size: int | None = None) -> DataFrame:
+                          max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Candidate generation via 4 15-bit bands (a pair within hamming 3
     must agree on ≥1 band), exact popcount filter after.
     ``max_bucket_size`` caps within-bucket expansion (min-id
-    representative fallback, see ``_bucket_pairs``)."""
+    representative fallback, see ``_bucket_pairs``) — capped by
+    DEFAULT; pass None for the exact uncapped oracle variant."""
     sig = simhash64(df, id_col, text_col)
     banded = sig.select(
         F.col(id_col).alias("id"), F.col("simhash").alias("sig"),

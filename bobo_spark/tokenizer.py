@@ -72,6 +72,14 @@ def term_freq_frame(doc_ids: np.ndarray, texts: pd.Series,
         tf["doclen"] = dl.loc[tf["doc_id"].to_numpy()].to_numpy()
         tf["tf"] = tf["tf"].astype(np.int64)
         return tf
+    # positions beyond 2^24-1 would carry into the doc_id bits of the
+    # query engine's (doc<<24|pos) occurrence keys (query._POS_SHIFT)
+    # and silently corrupt phrase matching — fail the build instead,
+    # mirroring pack_meta's tf/lang/ts overflow checks.
+    if int(doclens.max()) > (1 << 24):
+        raise ValueError(
+            f"document with {int(doclens.max())} tokens exceeds the "
+            "2^24 position limit of the positional postings codec")
     # positions path: factorize terms to int codes, then one integer
     # lexsort by (doc, code) — a stable sort, so within each run the
     # original flat order (= ascending position order) survives.

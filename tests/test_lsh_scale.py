@@ -77,3 +77,19 @@ def test_lsh_index_multiprobe(spark, lsh_index):
     one = simsearch.lsh_topk_indexed(spark, d, qv, k=10**6, probes=1).count()
     three = simsearch.lsh_topk_indexed(spark, d, qv, k=10**6, probes=3).count()
     assert three >= one
+
+
+def test_cap_is_the_default(spark):
+    """The scale-safe cap must be ON by default: a giant dup cluster
+    expands O(c) representative pairs unless the caller explicitly
+    opts out with max_bucket_size=None (the oracle-equality variant)."""
+    import inspect
+
+    for fn in (textops.minhash_lsh_pairs, textops.simhash_neardup_pairs,
+               simsearch.cosine_neardup_pairs_lsh):
+        default = inspect.signature(fn).parameters["max_bucket_size"].default
+        assert isinstance(default, int) and default > 0, fn.__name__
+    rows = [(i, "one enormous duplicated cluster of pages") for i in range(1500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = textops.minhash_lsh_pairs(docs, threshold=0.9).toPandas()
+    assert len(pairs) == 1499 and set(pairs["id_a"]) == {0}

@@ -115,3 +115,18 @@ def test_phrase_with_selection_and_facets(env):
                                       facets=("lang",)))
     assert len(res.hits) <= 5
     assert int(res.facets["lang"]["count"].sum()) == res.num_hits
+
+
+def test_phrase_on_positionless_index_raises_on_driver(spark, tmp_path_factory):
+    """A v1 (store_positions=False) index must reject phrase queries
+    with a clear driver-side ValueError, not an executor KeyError."""
+    d = str(tmp_path_factory.mktemp("idx_nopos"))
+    docs = webpages(spark, 120, 2)
+    build_snapshot(spark, docs, d,
+                   BuildConfig(docs_per_segment=60, store_positions=False))
+    reader = IndexReader(spark, d)
+    q = SearchRequest(query="ba be", mode="phrase", k=5)
+    with pytest.raises(ValueError, match="store_positions=False"):
+        reader.search(q)
+    with pytest.raises(ValueError, match="store_positions=False"):
+        reader.search_many([q])

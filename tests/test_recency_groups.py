@@ -110,3 +110,26 @@ def test_index_collectall_counts(env, spark):
     want = {d[k]: v for k, v in
             fwd.groupBy("lang_ord").count().toPandas().set_index("lang_ord")["count"].items()}
     assert got == want
+
+
+def test_collectall_cache_not_poisoned_by_min_hits(spark, sf_dir):
+    """A min_hits=1 unfiltered browse must not poison the cache for a
+    later min_hits=0 request (which needs the zero-count universe)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # lang value "zz" exists only in this synthetic corpus column copy:
+    # fabricate one by filtering a value out of the hit set is not
+    # possible unfiltered — instead compare the two spec variants
+    # directly: counts(min_hits=0) must include every distinct value
+    # even right after a min_hits=1 browse warmed the cache.
+    b = BoboBrowser(docs, [SimpleFacetHandler("lang")], doc_col="doc_id")
+    req1 = BrowseRequest()
+    req1.set_facet_spec("lang", FacetSpec(order_by="hits", min_hits=1))
+    n1 = b.facet_counts_df(req1, "lang").count()
+    req0 = BrowseRequest()
+    req0.set_facet_spec("lang", FacetSpec(order_by="hits", min_hits=0))
+    n0 = b.facet_counts_df(req0, "lang").count()
+    want = docs.select("lang").distinct().count()
+    assert n0 == want and n1 <= n0
+    # and the cached replay for each spec stays self-consistent
+    assert b.facet_counts_df(req0, "lang").count() == n0
+    assert b.facet_counts_df(req1, "lang").count() == n1
