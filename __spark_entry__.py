@@ -66,8 +66,8 @@ def _documents_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     key = sf_dir.rstrip("/")
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
-    # v2: postings carry a positions stream (phrase queries)
-    idx_dir = f"/tmp/bobo_spark_idx2_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+    # v3: positions stream (phrase) + window section geometry
+    idx_dir = f"/tmp/bobo_spark_idx3_{hashlib.md5(key.encode()).hexdigest()[:10]}"
     docs = _load(spark, sf_dir, "documents")
     n = docs.count()
     reader = None
@@ -90,7 +90,8 @@ def _documents_index(spark: SparkSession, sf_dir: str) -> IndexReader:
         )
         build_snapshot(
             spark, adapted, idx_dir,
-            BuildConfig(docs_per_segment=max(250, n // 16), block_size=128),
+            BuildConfig(docs_per_segment=max(250, n // 16), block_size=128,
+                        sections=("window", _SECTION_W)),
         )
         reader = IndexReader(spark, idx_dir)
     _INDEX_CACHE[key] = reader
@@ -589,6 +590,31 @@ def _q_browse_facet_boost_q(spark, sf_dir):
         "doc_id", F.round("_score", 4).alias("score"), "_rank")
 
 
+_SECTION_W = 16
+
+
+def _q_section_bool(spark, sf_dir):
+    """Section search, boolean tree: docs where one 16-token section
+    contains both 'spark' and 'join' but not 'hash' (required +
+    prohibited clauses ≙ SectionSearchQueryPlanBuilder boolean
+    translation)."""
+    r = _documents_index(spark, sf_dir)
+    tree = ("and", ("term", "spark"), ("term", "join"),
+            ("not", ("term", "hash")))
+    return r.section_search_df(tree, k=10).withColumn(
+        "n_sections", F.col("n_sections").cast("long"))
+
+
+def _q_section_phrase(spark, sf_dir):
+    """Section search with a phrase node: phrase 'spark join' within
+    one section, OR a section holding both 'merge' and 'scan'."""
+    r = _documents_index(spark, sf_dir)
+    tree = ("or", ("phrase", "spark join"),
+            ("and", ("term", "merge"), ("term", "scan")))
+    return r.section_search_df(tree, k=10).withColumn(
+        "n_sections", F.col("n_sections").cast("long"))
+
+
 def _q_bm25_phrase(spark, sf_dir):
     """Exact phrase search over the positional postings stream."""
     r = _documents_index(spark, sf_dir)
@@ -761,6 +787,8 @@ def queries() -> dict[str, _T]:
         "browse_boolean_facet_query": _q_browse_boolean_facet_q,
         "browse_facet_boost_query": _q_browse_facet_boost_q,
         "bm25_phrase": _q_bm25_phrase,
+        "section_search_bool": _q_section_bool,
+        "section_search_phrase": _q_section_phrase,
         "bm25_topk_rare_sel": _q_bm25_rare_sel,
         "browse_group_multilevel": _q_group_multilevel,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -845,6 +873,47 @@ FROM p, st{joins}
 WHERE ptf > 0
 ORDER BY score DESC, doc_id
 LIMIT {k}
+"""
+
+
+_SEC_TOK = ("SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS term, "
+            "generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'), 1) AS pos "
+            "FROM documents")
+
+
+def _section_bool_sql(k: int = 10) -> str:
+    w = _SECTION_W
+    return f"""
+WITH tok AS ({_SEC_TOK}),
+sec AS (SELECT DISTINCT doc_id, term, CAST(floor((pos - 1) / {w}) AS BIGINT) AS sec FROM tok),
+m AS (
+  SELECT doc_id, sec FROM sec WHERE term = 'spark'
+  INTERSECT
+  SELECT doc_id, sec FROM sec WHERE term = 'join'
+  EXCEPT
+  SELECT doc_id, sec FROM sec WHERE term = 'hash')
+SELECT doc_id, count(*) AS n_sections
+FROM m GROUP BY doc_id ORDER BY doc_id LIMIT {k}
+"""
+
+
+def _section_phrase_sql(k: int = 10) -> str:
+    w = _SECTION_W
+    return f"""
+WITH tok AS ({_SEC_TOK}),
+ph AS (
+  SELECT a.doc_id, CAST(floor((a.pos - 1) / {w}) AS BIGINT) AS sec
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'spark' AND b.term = 'join'
+    AND floor((a.pos - 1) / {w}) = floor((b.pos - 1) / {w})),
+sec AS (SELECT DISTINCT doc_id, term, CAST(floor((pos - 1) / {w}) AS BIGINT) AS sec FROM tok),
+an AS (
+  SELECT doc_id, sec FROM sec WHERE term = 'merge'
+  INTERSECT
+  SELECT doc_id, sec FROM sec WHERE term = 'scan'),
+u AS (SELECT doc_id, sec FROM ph UNION SELECT doc_id, sec FROM an)
+SELECT doc_id, count(*) AS n_sections
+FROM u GROUP BY doc_id ORDER BY doc_id LIMIT {k}
 """
 
 
@@ -1292,6 +1361,8 @@ r AS (SELECT doc_id, score,
              row_number() OVER (ORDER BY score DESC, doc_id) AS _rank FROM s)
 SELECT doc_id, round(score, 4) AS score, _rank FROM r WHERE _rank <= 15
 """,
+        "section_search_bool": _section_bool_sql(k=10),
+        "section_search_phrase": _section_phrase_sql(k=10),
         "bm25_phrase": _bm25_phrase_sql(["data", "slow"]),
         "bm25_recency_boost": _bm25_recency_sql(["spark", "stream"]),
         "browse_recency_scorer": _browse_recency_sql(),

@@ -76,6 +76,17 @@ class BuildConfig:
     # stream Lucene keeps for PhraseQuery). Off => pos_bytes empty and
     # phrase queries raise.
     store_positions: bool = True
+    # section geometry for section search (requires store_positions):
+    #   None               — no sections (section_search raises)
+    #   ("window", W)      — section = token_pos // W; METADATA ONLY,
+    #                        zero index bytes
+    #   ("regex", pattern) — sections = text split on pattern; per-doc
+    #                        boundary arrays land in a ``sections``
+    #                        table (token starts, delta varbyte). The
+    #                        per-DOC analogue of the reference's
+    #                        per-occurrence section payloads
+    #                        (search/section/TermNode.java:55-63).
+    sections: tuple | None = None
 
 
 def _segment_col(cfg: BuildConfig):
@@ -396,6 +407,36 @@ def build_snapshot(
 
     docs_t = spark.read.parquet(docs_path)
 
+    # ---- stage: sections (regex mode only) --------------------------------
+    # Per-doc section boundary arrays — written once per doc (tiny next
+    # to postings); window-mode sections are pure position arithmetic
+    # and need no table at all.
+    sections_path = cat.table_path("sections", sid)
+    if (cfg.sections and cfg.sections[0] == "regex"
+            and "sections" not in snap.stages):
+        if not cfg.store_positions:
+            raise ValueError("sections require store_positions=True")
+        pattern = cfg.sections[1]
+
+        def to_sections(batches):
+            from .tokenizer import section_starts_frame
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = section_starts_frame(
+                    pdf["doc_id"].to_numpy(np.int64), pdf["text"], pattern)
+                out["segment"] = (pdf["doc_id"].to_numpy(np.int64)
+                                  // cfg.docs_per_segment)
+                yield out
+
+        sec_src = (docs.select("doc_id", "text") if have_text
+                   else docs_t.select("doc_id", "text"))
+        sec_src.mapInPandas(
+            to_sections,
+            schema="doc_id long, n_secs int, sec_bytes binary, segment long",
+        ).write.mode("overwrite").parquet(sections_path)
+        cat.mark_stage(snap, "sections")
+
     # ---- stage: pairs ----------------------------------------------------
     # (tf, doclen, lang_ord, ts_ord) are bit-packed into ONE long
     # (tf<<40 | dl<<24 | lang<<16 | ts) — halves the bytes moved
@@ -523,6 +564,10 @@ def build_snapshot(
                 # recorded so the query planner can reject phrase
                 # queries driver-side instead of failing in an executor
                 "store_positions": bool(cfg.store_positions),
+                # section geometry (JSON-serializable); the section
+                # search planner reads this to pick window arithmetic
+                # vs the per-doc boundary table
+                "sections": list(cfg.sections) if cfg.sections else None,
             }
         )
         cat.mark_stage(snap, "stats")
@@ -615,6 +660,9 @@ def build_snapshot(
         for t, p in (("postings", postings_path), ("forward", forward_path), ("meta", meta_path)):
             prev = cat.table_paths(parent, t) if parent else []
             cumulative[t] = prev + [p]
+        if cfg.sections and cfg.sections[0] == "regex":
+            prev = cat.table_paths(parent, "sections") if parent else []
+            cumulative["sections"] = prev + [sections_path]
         snap.tables = cumulative
         cat.update_snapshot(snap)
         cat.mark_stage(snap, "published")

@@ -674,6 +674,88 @@ class IndexReader:
                 facets[f] = part[["value", "count"]].reset_index(drop=True)
         return SearchResult(hits=hits, num_hits=num_hits, facets=facets)
 
+    # --------------------------------------------------------- section search
+
+    def _section_plan(self, tree, k: int, offset: int, boost: float) -> dict:
+        """Driver-side plan for a section query (≙ SectionSearchQuery
+        + SectionSearchQueryPlanBuilder, bobo_spark.sections)."""
+        from .sections import tree_words
+
+        sec_cfg = self.snap.stats.get("sections")
+        if not sec_cfg:
+            raise ValueError(
+                "index built without sections — rebuild with "
+                "BuildConfig(sections=('window', W)) or ('regex', pattern)")
+        self._require_positions()
+        words = sorted(set(tree_words(tree)))
+        if self._terms_pd is not None:
+            found = self._terms_pd[self._terms_pd["term"].isin(words)]
+        else:
+            found = (self._terms.where(F.col("term").isin(words))
+                     .select("term", "term_id").toPandas())
+        word_tid = dict.fromkeys(words, -1)
+        word_tid.update(zip(found["term"], found["term_id"].astype(int)))
+        return {"tree": tree, "word_tid": word_tid, "sections": tuple(sec_cfg),
+                "k": k, "offset": offset, "boost": float(boost)}
+
+    def _sections_table(self) -> DataFrame:
+        if getattr(self, "_sections_df", None) is None:
+            self._sections_df = self.spark.read.parquet(
+                *self.catalog.table_paths(self.snap, "sections"))
+        return self._sections_df
+
+    def _section_outputs(self, plan: dict) -> DataFrame:
+        from .sections import segment_section_search
+
+        tids = [t for t in plan["word_tid"].values() if t >= 0]
+        if not tids:
+            return self.spark.createDataFrame([], OUT_SCHEMA)
+        blocks = self._postings_full.where(F.col("term_id").isin(tids))
+        if plan["sections"][0] == "regex":
+            # per-doc boundary arrays ride along via cogroup on segment
+            return blocks.groupBy("segment").cogroup(
+                self._sections_table().groupBy("segment")
+            ).applyInPandas(
+                lambda left, right: segment_section_search(left, plan, right),
+                schema=OUT_SCHEMA,
+            )
+        return blocks.groupBy("segment").applyInPandas(
+            lambda pdf: segment_section_search(pdf, plan, None), schema=OUT_SCHEMA
+        )
+
+    def section_search(self, tree, k: int = 10, offset: int = 0,
+                       boost: float = 1.0) -> SearchResult:
+        """Constant-score section search (hits carry the number of
+        matching sections in SearchResult.hits['n_sections'])."""
+        plan = self._section_plan(tree, k, offset, boost)
+        out = self._section_outputs(plan).toPandas()
+        hits_pd = out[out["kind"] == _K_HIT].sort_values("doc_id")
+        page = hits_pd.iloc[offset:offset + k]
+        hits = page[["doc_id", "score"]].copy()
+        hits["n_sections"] = page["count"].to_numpy()
+        num_hits = int(out[out["kind"] == _K_STATS]["count"].sum())
+        return SearchResult(hits=hits.reset_index(drop=True),
+                            num_hits=num_hits, facets={})
+
+    def section_search_df(self, tree, k: int = 10, offset: int = 0,
+                          boost: float = 1.0) -> DataFrame:
+        """Section search as an uncollected DataFrame
+        (doc_id, n_sections) — the pipeline-composable form."""
+        from pyspark.sql.window import Window
+
+        plan = self._section_plan(tree, k, offset, boost)
+        out = self._section_outputs(plan)
+        top = (
+            out.where(F.col("kind") == _K_HIT)
+            .orderBy(F.asc("doc_id"))
+            .limit(offset + k)
+        )
+        if offset:  # rank window above the limit: ≤ offset+k rows pass
+            top = (top.withColumn(
+                "_rank", F.row_number().over(Window.orderBy(F.asc("doc_id"))))
+                .where(F.col("_rank") > offset))
+        return top.select("doc_id", F.col("count").alias("n_sections"))
+
     def search_many(self, reqs: list[SearchRequest]) -> list[SearchResult]:
         """Batch execution: the whole query set runs as ONE Spark job.
 

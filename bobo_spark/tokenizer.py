@@ -110,3 +110,40 @@ def term_freq_frame(doc_ids: np.ndarray, texts: pd.Series,
         "doclen": dl.loc[run_docs].to_numpy(),
         "pos_bytes": [buf[offs[i]:offs[i + 1]] for i in range(len(run_starts))],
     })
+
+
+def section_starts_frame(doc_ids: np.ndarray, texts: pd.Series,
+                         pattern: str) -> pd.DataFrame:
+    """Per-doc section geometry for regex-delimited sections.
+
+    Sections = the text split on ``pattern``; a section's start is the
+    global token position of its first token. Returns (doc_id, n_secs,
+    sec_bytes) with the starts delta-varbyte encoded (first start is
+    always 0). Empty sections keep their ids (they simply never claim
+    a position — occurrence mapping is searchsorted-right minus one).
+
+    This is the per-DOC analogue of the reference's per-OCCURRENCE
+    section payloads (search/section/TermNode.java:55-63,
+    IntMetaDataQuery.java:20): boundaries are stored once per doc, and
+    occurrence→section resolves at query time.
+    """
+    from .codecs import vb_encode_segmented
+
+    parts = texts.str.split(pattern, regex=True)
+    nparts = parts.map(len).to_numpy(np.int64)
+    flat = parts.explode()
+    cnt = flat.str.lower().str.count(TOKEN_RE.pattern).to_numpy(np.int64)
+    doc_first = np.cumsum(nparts) - nparts  # index of each doc's first part
+    g_end = np.cumsum(cnt)
+    before_doc = np.concatenate(([0], g_end))[doc_first]
+    starts = np.concatenate(([0], g_end[:-1])) - np.repeat(before_doc, nparts)
+    prev = np.concatenate(([0], starts[:-1]))
+    new_doc = np.zeros(starts.size, dtype=bool)
+    new_doc[doc_first] = True
+    deltas = np.where(new_doc, starts, starts - prev).astype(np.uint64)
+    buf, offs = vb_encode_segmented(deltas, doc_first)
+    return pd.DataFrame({
+        "doc_id": np.asarray(doc_ids, dtype=np.int64),
+        "n_secs": nparts.astype(np.int32),
+        "sec_bytes": [buf[offs[i]:offs[i + 1]] for i in range(len(doc_first))],
+    })
