@@ -593,6 +593,19 @@ def _q_browse_facet_boost_q(spark, sf_dir):
 _SECTION_W = 16
 
 
+def _q_bm25_matchall_sel(spark, sf_dir):
+    """Selection-only search on the INDEX engine (query=None ≙
+    MatchAllDocs AND-wrapped with filters): lang selection via forward
+    scan, ts_bucket facet counts honoring the filter."""
+    r = _documents_index(spark, sf_dir)
+    res = r.search(SearchRequest(query=None, k=10,
+                                 selections={"lang": ["de"]},
+                                 facets=("ts_bucket",)))
+    pdf = res.facets["ts_bucket"].head(20)
+    return spark.createDataFrame(pdf).select(
+        "value", F.col("count").cast("long").alias("count"))
+
+
 def _q_section_bool(spark, sf_dir):
     """Section search, boolean tree: docs where one 16-token section
     contains both 'spark' and 'join' but not 'hash' (required +
@@ -701,6 +714,100 @@ def _q_browse_collectall(spark, sf_dir):
         "value", F.col("count").cast("long").alias("count"))
 
 
+def _q_term_vectors(spark, sf_dir):
+    """Per-hit term-vector fetch (≙ sort/SortCollectorImpl.java:430-466):
+    exact (term, tf, positions) for a fixed page of docs, reconstructed
+    from the positional postings with segment + block pruning."""
+    r = _documents_index(spark, sf_dir)
+    return r.term_vectors([3, 7, 11]).withColumn(
+        "tf", F.col("tf").cast("long"))
+
+
+def _q_browse_custom_sort(spark, sf_dir):
+    """Custom facet comparator (≙ ComparatorFactory / FacetSpec
+    OrderByCustom, BoboTestCase.java:2620-2694): source facet ordered
+    by value LENGTH desc then value asc — a sort no built-in order_by
+    produces."""
+    docs = _load(spark, sf_dir, "documents")
+    b = BoboBrowser(docs, [SimpleFacetHandler("source")], doc_col="doc_id")
+    req = BrowseRequest()
+    req.set_facet_spec("source", FacetSpec(
+        order_by="custom", max_count=5,
+        custom_order=[F.length("value").desc(), F.col("value").asc()]))
+    return b.facet_counts_df(req, "source")
+
+
+def _q_facet_path_multival(spark, sf_dir):
+    """Multi-valued path facet (≙ MultiValuedPathFacetCountCollector,
+    TestPathMultiVal.java:69): each customer carries TWO paths (geo +
+    market-segment tree); selection on the EUROPE subtree, counts
+    rolled to depth 2 over the exploded distinct paths."""
+    cust = _load(spark, sf_dir, "customer")
+    nat = _load(spark, sf_dir, "nation")
+    reg = _load(spark, sf_dir, "region")
+    df = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("c_custkey", F.array(
+            F.concat_ws("/", "r_name", "n_name"),
+            F.concat_ws("/", F.lit("seg"), "c_mktsegment")).alias("paths"))
+    )
+    b = BoboBrowser(df, [PathFacetHandler("paths", separator="/", multi=True)],
+                    doc_col="c_custkey")
+    req = BrowseRequest()
+    req.add_selection(BrowseSelection("paths", values=["EUROPE"], depth=1))
+    req.set_facet_spec("paths", FacetSpec(order_by="hits"))
+    return b.facet_counts_df(req, "paths")
+
+
+def _q_streaming_ingest(spark, sf_dir):
+    """Structured-Streaming ingestion (bobo_spark.streaming
+    .ingest_stream): the documents table replayed as a file stream →
+    foreachBatch snapshot builds (availableNow trigger), then the term
+    dictionary read back from the PUBLISHED snapshot."""
+    from bobo_spark.streaming import ingest_stream
+
+    key = sf_dir.rstrip("/")
+    idx_dir = f"/tmp/bobo_spark_strm_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+    docs = _load(spark, sf_dir, "documents")
+    n = docs.count()
+    reader = None
+    try:
+        reader = IndexReader(spark, idx_dir, cache=False)
+        if reader.n_docs != n:
+            reader = None
+    except Exception:
+        reader = None
+    if reader is None:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+                F.timestamp_seconds(
+                    F.lit(1704067200) + (F.col("doc_id") * 37) % (180 * 86400)
+                ).alias("warc_ts"),
+                F.col("lang"), F.col("text"))
+        )
+        q = ingest_stream(
+            stream, idx_dir,
+            BuildConfig(docs_per_segment=max(250, n // 8),
+                        store_positions=False),
+            checkpoint_dir=f"{idx_dir}/_checkpoint",
+            trigger={"availableNow": True})
+        q.awaitTermination()
+        reader = IndexReader(spark, idx_dir, cache=False)
+    terms = reader._terms.where(~F.col("term").startswith("\x00"))
+    return (
+        terms.select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def _q_incremental_terms(spark, sf_dir):
     """Two-batch INCREMENTAL build (snapshot 0 then append snapshot 1),
     then term stats from the merged dictionary — exercises snapshot
@@ -787,12 +894,17 @@ def queries() -> dict[str, _T]:
         "browse_boolean_facet_query": _q_browse_boolean_facet_q,
         "browse_facet_boost_query": _q_browse_facet_boost_q,
         "bm25_phrase": _q_bm25_phrase,
+        "bm25_matchall_sel": _q_bm25_matchall_sel,
         "section_search_bool": _q_section_bool,
         "section_search_phrase": _q_section_phrase,
         "bm25_topk_rare_sel": _q_bm25_rare_sel,
         "browse_group_multilevel": _q_group_multilevel,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "incremental_snapshot_terms": _q_incremental_terms,
+        "browse_custom_facet_sort": _q_browse_custom_sort,
+        "term_vectors_page": _q_term_vectors,
+        "facet_path_multival": _q_facet_path_multival,
+        "streaming_snapshot_terms": _q_streaming_ingest,
         "bm25_recency_boost": _q_bm25_recency,
         "browse_recency_scorer": _q_browse_recency,
         "browse_num_groups": _q_browse_num_groups,
@@ -1361,6 +1473,15 @@ r AS (SELECT doc_id, score,
              row_number() OVER (ORDER BY score DESC, doc_id) AS _rank FROM s)
 SELECT doc_id, round(score, 4) AS score, _rank FROM r WHERE _rank <= 15
 """,
+        "bm25_matchall_sel": """
+WITH b AS (SELECT doc_id, lang,
+    strftime(to_timestamp(1704067200 + (doc_id * 37) % 15552000), '%Y-%m-%d')
+      AS ts_bucket
+  FROM documents)
+SELECT ts_bucket AS value, count(*) AS count
+FROM b WHERE lang = 'de'
+GROUP BY 1 ORDER BY count DESC, value LIMIT 20
+""",
         "section_search_bool": _section_bool_sql(k=10),
         "section_search_phrase": _section_phrase_sql(k=10),
         "bm25_phrase": _bm25_phrase_sql(["data", "slow"]),
@@ -1401,6 +1522,43 @@ pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
           WHERE x.doc_id < y.doc_id)
 SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
 FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+""",
+        "term_vectors_page": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term,
+         generate_subscripts({_TOK_SQL}, 1) AS pos
+  FROM documents WHERE doc_id IN (3, 7, 11))
+SELECT doc_id, term, count(*)::BIGINT AS tf,
+       string_agg(pos - 1, ',' ORDER BY pos) AS positions
+FROM tok GROUP BY 1, 2
+""",
+        "browse_custom_facet_sort": """
+SELECT source AS value, count(*) AS count
+FROM documents GROUP BY 1
+ORDER BY length(value) DESC, value LIMIT 5
+""",
+        "facet_path_multival": """
+WITH c AS (
+  SELECT c_custkey,
+         [r_name || '/' || n_name, 'seg/' || c_mktsegment] AS paths
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey),
+hits AS (
+  SELECT * FROM c
+  WHERE len(list_filter(paths,
+            p -> p = 'EUROPE' OR starts_with(p, 'EUROPE/'))) > 0),
+ex AS (SELECT c_custkey, unnest(list_distinct(paths)) AS p FROM hits),
+k AS (SELECT array_to_string(list_slice(string_split(p, '/'), 1, 2), '/') AS value
+      FROM ex WHERE p = 'EUROPE' OR starts_with(p, 'EUROPE/'))
+SELECT value, count(*) AS count FROM k
+GROUP BY 1 ORDER BY count DESC, value
+""",
+        "streaming_snapshot_terms": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents),
+t AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+SELECT term, df::BIGINT AS df
+FROM t ORDER BY df DESC, term LIMIT 20
 """,
         "incremental_snapshot_terms": f"""
 WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents),

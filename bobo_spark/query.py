@@ -52,7 +52,11 @@ FACET_FIELDS = {"lang": "lang", "ts_bucket": "ts_bucket"}
 
 @dataclass
 class SearchRequest:
-    query: str | list[str]
+    # None = MatchAllDocs / selection-only search (the reference
+    # AND-wraps MatchAllDocsQuery with the filter set,
+    # api/MultiBoboBrowser.java:81-92): hits come from a forward-table
+    # scan, scores are the constant 1.0
+    query: str | list[str] | None
     mode: str = "and"  # "and" | "or" | "phrase" (exact consecutive positions)
     k: int = 10
     offset: int = 0
@@ -647,12 +651,68 @@ class IndexReader:
             lambda pdf: _segment_search(pdf, plan), schema=OUT_SCHEMA
         )
 
+    # ----------------------------------------------- MatchAll / selection-only
+
+    _ORD_COL = {"lang": "lang_ord", "ts_bucket": "ts_ord"}
+
+    def _matchall_search(self, req: SearchRequest) -> SearchResult:
+        """Selection-only search (query=None ≙ MatchAllDocsQuery
+        AND-wrapped with the filters, api/MultiBoboBrowser.java:81-92).
+
+        Hits = forward-table scan + selection predicates (Catalyst
+        pushes them into the parquet scan), constant score 1.0, docID
+        order; facet counts are ordinal groupBys with the multi-select
+        leave-one-out; with no selections at all the facet path serves
+        the zero-scan collectAll counts and num_hits = n_docs from
+        snapshot stats (zero Spark jobs)."""
+        sel_lang, sel_ts = self._resolve_selections(req)
+        preds = {}
+        if sel_lang is not None:
+            preds["lang"] = F.col("lang_ord").isin([int(x) for x in sel_lang])
+        if sel_ts is not None:
+            preds["ts_bucket"] = F.col("ts_ord").isin([int(x) for x in sel_ts])
+
+        def hitset(pred_fields):
+            ps = [preds[f] for f in pred_fields]
+            out = self._forward
+            for p in ps:
+                out = out.where(p)
+            return out
+
+        base = hitset(list(preds))
+        num_hits = base.count() if preds else self.n_docs
+        page = (
+            base.orderBy(F.asc("doc_id")).limit(req.offset + req.k)
+            .select("doc_id").toPandas().iloc[req.offset:]
+        )
+        hits = pd.DataFrame({"doc_id": page["doc_id"].to_numpy(np.int64),
+                             "score": 1.0})
+        facets = {}
+        for f in req.facets:
+            others = [x for x in preds if x != f] if req.expand_selection \
+                else list(preds)
+            if not others:
+                facets[f] = self.facet_counts(f)  # collectAll: zero scan
+                continue
+            cnt = (
+                hitset(others).groupBy(self._ORD_COL[f]).count().toPandas()
+                .rename(columns={self._ORD_COL[f]: "ordinal"})
+            )
+            d = self.dicts[f][["ordinal", "value"]]
+            part = cnt.merge(d, on="ordinal")
+            part = part.sort_values(["count", "value"], ascending=[False, True])
+            facets[f] = part[["value", "count"]].reset_index(drop=True)
+        return SearchResult(hits=hits.reset_index(drop=True),
+                            num_hits=int(num_hits), facets=facets)
+
     def search(self, req: SearchRequest) -> SearchResult:
         """One Spark job: per-segment top-k/facet/stat rows are tiny
         (≤ P·(k + #facet values) rows), so the cross-segment merge runs
         driver-side in pandas — the literal analogue of the reference's
         ListMerger + CombinedFacetAccessible (util/ListMerger.java:104-137,
         facets/CombinedFacetAccessible.java:101-192)."""
+        if req.query is None:
+            return self._matchall_search(req)
         plan = self.plan(req)
         out = self._segment_outputs(plan).toPandas()
         hits_pd = out[out["kind"] == _K_HIT]
@@ -673,6 +733,69 @@ class IndexReader:
                 part = part.sort_values(["count", "value"], ascending=[False, True])
                 facets[f] = part[["value", "count"]].reset_index(drop=True)
         return SearchResult(hits=hits, num_hits=num_hits, facets=facets)
+
+    # ---------------------------------------------------------- term vectors
+
+    def term_vectors(self, doc_ids: list[int]) -> DataFrame:
+        """Per-doc term vectors (term, tf, positions) reconstructed
+        from the postings (≙ sort/SortCollectorImpl.java:430-466,
+        which fetches Lucene's stored term vectors for the hit page).
+
+        The index is term-major, so reconstruction scans only the
+        target docs' SEGMENTS (segment IN pushed to the parquet scan)
+        and skips every block whose [first_doc, last_doc] interval
+        misses all targets before decoding. Intended for page-sized
+        hit sets (≤ offset+k docs), where the per-segment work is one
+        pruned pass."""
+        ids = sorted(set(int(d) for d in doc_ids))
+        segs = [r["segment"] for r in
+                self._forward.where(F.col("doc_id").isin(ids))
+                .select("segment").distinct().collect()]
+        if not segs:
+            return self.spark.createDataFrame(
+                [], "doc_id long, term string, tf long, positions string")
+        has_pos = ("pos_bytes" in self._postings_full.columns
+                   and self.snap.stats.get("store_positions", True))
+        src = self._postings_full if has_pos else self._postings
+        blocks = src.where(F.col("segment").isin(segs))
+        ids_arr = np.array(ids, dtype=np.int64)
+
+        def tv(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for tid, g in pdf.groupby("term_id"):
+                g = g.sort_values("first_doc")
+                f = g["first_doc"].to_numpy(np.int64)
+                l = g["last_doc"].to_numpy(np.int64)
+                idx = np.searchsorted(ids_arr, f)
+                keep = (idx < ids_arr.size) & \
+                       (ids_arr[np.minimum(idx, ids_arr.size - 1)] <= l)
+                g = g[keep]
+                if not len(g):
+                    continue
+                docs, tf, _dl, _lang, _ts = _decode_term_blocks(g)
+                # facet sentinel terms carry no positions even in a
+                # positional index — they are dropped by the term-name
+                # filter below, so just skip their decode
+                g_pos = has_pos and any(len(x) for x in g["pos_bytes"])
+                pos = _decode_positions(g, tf) if g_pos else None
+                starts = np.cumsum(tf) - tf
+                sel = np.flatnonzero(np.isin(docs, ids_arr))
+                for i in sel:
+                    ps = ("," .join(map(str, pos[starts[i]:starts[i] + tf[i]]))
+                          if pos is not None else "")
+                    out.append((int(docs[i]), int(tid), int(tf[i]), ps))
+            return pd.DataFrame(
+                out, columns=["doc_id", "term_id", "tf", "positions"])
+
+        vecs = blocks.groupBy("segment").applyInPandas(
+            tv, schema="doc_id long, term_id long, tf long, positions string")
+        # the result is page-sized — broadcast it against the dictionary
+        return (
+            F.broadcast(vecs)
+            .join(self._terms.select("term_id", "term"), "term_id")
+            .where(~F.col("term").startswith("\x00"))  # facet sentinels out
+            .select("doc_id", "term", "tf", "positions")
+        )
 
     # --------------------------------------------------------- section search
 
@@ -843,14 +966,26 @@ class IndexReader:
 
     def search_df(self, req: SearchRequest, with_url: bool = False) -> DataFrame:
         """Spark-DataFrame result (doc_id, score[, url]) for pipelines."""
-        plan = self.plan(req)
-        out = self._segment_outputs(plan)
-        hits = (
-            out.where(F.col("kind") == _K_HIT)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(req.offset + req.k)
-            .select("doc_id", "score")
-        )
+        if req.query is None:  # MatchAll: forward scan, constant score
+            sel_lang, sel_ts = self._resolve_selections(req)
+            hits = self._forward
+            if sel_lang is not None:
+                hits = hits.where(F.col("lang_ord").isin([int(x) for x in sel_lang]))
+            if sel_ts is not None:
+                hits = hits.where(F.col("ts_ord").isin([int(x) for x in sel_ts]))
+            hits = (
+                hits.orderBy(F.asc("doc_id")).limit(req.offset + req.k)
+                .select("doc_id", F.lit(1.0).alias("score"))
+            )
+        else:
+            plan = self.plan(req)
+            out = self._segment_outputs(plan)
+            hits = (
+                out.where(F.col("kind") == _K_HIT)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(req.offset + req.k)
+                .select("doc_id", "score")
+            )
         if with_url:
             # hits is ≤ offset+k rows — broadcast it so the stored-field
             # fetch never shuffles the forward table (SURVEY §2.1).

@@ -1,0 +1,89 @@
+"""MatchAll / selection-only search on the BM25 index engine
+(query=None ≙ MatchAllDocsQuery AND-wrapped with the filter set,
+api/MultiBoboBrowser.java:81-92): forward-scan hit set, constant
+score, ordinal-bincount facets with multi-select leave-one-out."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bobo_spark.build import BuildConfig, build_snapshot
+from bobo_spark.query import IndexReader, SearchRequest
+from bobo_spark.webgen import webpages
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_ma"))
+    docs = webpages(spark, 700, 3)
+    build_snapshot(spark, docs, d, BuildConfig(docs_per_segment=175))
+    return IndexReader(spark, d), docs
+
+
+def test_matchall_no_selection(env):
+    reader, docs = env
+    res = reader.search(SearchRequest(query=None, k=7))
+    assert res.num_hits == docs.count() == reader.n_docs
+    want = [r["doc_id"] for r in
+            docs.orderBy("doc_id").limit(7).select("doc_id").collect()]
+    assert list(res.hits["doc_id"]) == want
+    assert set(res.hits["score"]) == {1.0}
+
+
+def test_matchall_selection_and_facets(env):
+    reader, docs = env
+    res = reader.search(SearchRequest(
+        query=None, k=5, offset=2, selections={"lang": ["de", "fr"]},
+        facets=("lang", "ts_bucket")))
+    sel = docs.where(F.col("lang").isin(["de", "fr"]))
+    assert res.num_hits == sel.count()
+    want = [r["doc_id"] for r in
+            sel.orderBy("doc_id").limit(7).collect()][2:]
+    assert list(res.hits["doc_id"]) == want
+    # expand_selection: lang counts ignore the lang filter (full corpus)
+    want_lang = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    got_lang = dict(zip(res.facets["lang"]["value"], res.facets["lang"]["count"]))
+    assert got_lang == want_lang
+    # ts_bucket counts honor the lang filter
+    want_ts = {r["b"]: r["count"] for r in
+               sel.groupBy(F.date_format(F.date_trunc("day", "warc_ts"),
+                                         "yyyy-MM-dd").alias("b")).count().collect()}
+    got_ts = dict(zip(res.facets["ts_bucket"]["value"],
+                      res.facets["ts_bucket"]["count"]))
+    assert got_ts == want_ts
+
+
+def test_matchall_search_df(env):
+    reader, docs = env
+    df = reader.search_df(SearchRequest(
+        query=None, k=4, selections={"lang": ["en"]}), with_url=True)
+    rows = df.orderBy("doc_id").collect()
+    want = docs.where(F.col("lang") == "en").orderBy("doc_id").limit(4).collect()
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in want]
+    assert [r["url"] for r in rows] == [r["url"] for r in want]
+    assert set(r["score"] for r in rows) == {1.0}
+
+
+def test_term_vectors(env):
+    """Term-vector reconstruction ≙ SortCollectorImpl.java:430-466:
+    exact (term, tf, positions) per requested doc."""
+    from bobo_spark.tokenizer import tokenize
+
+    reader, docs = env
+    ids = [3, 411, 12]
+    got = reader.term_vectors(ids).toPandas()
+    texts = {r["doc_id"]: r["text"] for r in
+             docs.where(F.col("doc_id").isin(ids)).collect()}
+    import collections
+    want = {}
+    for d, text in texts.items():
+        toks = tokenize(text)
+        posmap = collections.defaultdict(list)
+        for p, t in enumerate(toks):
+            posmap[t].append(p)
+        for t, ps in posmap.items():
+            want[(d, t)] = (len(ps), ",".join(map(str, ps)))
+    gmap = {(r["doc_id"], r["term"]): (r["tf"], r["positions"])
+            for _, r in got.iterrows()}
+    assert gmap == want
