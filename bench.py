@@ -107,6 +107,12 @@ def main() -> None:
         "sessionize_events",
     ]
     qmap = entrymod.queries()
+    # ensure the sf-dir documents index exists BEFORE timing the bm25
+    # headline queries: its (cached) build is its own line item, not a
+    # hidden cost inside the first query's latency
+    t1 = time.time()
+    entrymod._documents_index(spark, sf_dir)
+    queries["documents_index_ensure"] = round(time.time() - t1, 3)
     for name in headline:
         t1 = time.time()
         qmap[name](spark, sf_dir).collect()

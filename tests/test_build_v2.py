@@ -1,0 +1,87 @@
+"""segment_local build pipeline: one text shuffle instead of a
+materialized pair table. Must be SEMANTICALLY identical to the classic
+pairs pipeline — same term dictionary, same stats, same forward rows,
+and identical query results (the posting block layout may differ:
+blocks split at doc-range partition boundaries, which the reader's
+block concatenation tolerates by design)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bobo_spark.build import BuildConfig, build_snapshot
+from bobo_spark.query import IndexReader, SearchRequest
+from bobo_spark.webgen import webpages
+
+
+@pytest.fixture(scope="module")
+def both(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("v2")
+    docs = webpages(spark, 900, 5)
+    cfg_a = BuildConfig(docs_per_segment=200, block_size=32, pipeline="pairs",
+                        sections=("window", 8))
+    cfg_b = BuildConfig(docs_per_segment=200, block_size=32,
+                        pipeline="segment_local", sections=("window", 8),
+                        rows_per_posting_partition=20_000)
+    build_snapshot(spark, docs, str(base / "a"), cfg_a)
+    build_snapshot(spark, docs, str(base / "b"), cfg_b)
+    return IndexReader(spark, str(base / "a")), IndexReader(spark, str(base / "b"))
+
+
+def test_terms_identical(both):
+    a, b = both
+    ta = a._terms.toPandas().sort_values("term").reset_index(drop=True)
+    tb = b._terms.toPandas().sort_values("term").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ta[["term", "term_id", "df", "cf"]],
+                                  tb[["term", "term_id", "df", "cf"]])
+
+
+def test_stats_identical(both):
+    a, b = both
+    for k in ("n_docs", "tok_sum", "avgdl", "n_terms"):
+        assert a.snap.stats[k] == b.snap.stats[k], k
+
+
+def test_forward_identical(both):
+    a, b = both
+    fa = a._forward.toPandas().sort_values("doc_id").reset_index(drop=True)
+    fb = b._forward.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fa, fb[fa.columns])
+
+
+def test_query_results_identical(both):
+    a, b = both
+    reqs = [
+        SearchRequest(query="ba be", mode="and", k=10, facets=("lang",)),
+        SearchRequest(query="ba ka vu", mode="or", k=10),
+        SearchRequest(query="ba be", mode="phrase", k=10),
+        SearchRequest(query="ka", mode="or", k=10,
+                      selections={"lang": ["en"]}, facets=("ts_bucket",)),
+        SearchRequest(query=None, k=10, selections={"lang": ["de"]}),
+    ]
+    for req in reqs:
+        ra, rb = a.search(req), b.search(req)
+        assert ra.num_hits == rb.num_hits, req
+        pd.testing.assert_frame_equal(ra.hits, rb.hits)
+        assert set(ra.facets) == set(rb.facets)
+        for f in ra.facets:
+            pd.testing.assert_frame_equal(ra.facets[f], rb.facets[f])
+
+
+def test_section_search_identical(both):
+    a, b = both
+    tree = ("and", ("term", "ba"), ("not", ("term", "be")))
+    ra, rb = a.section_search(tree, k=10), b.section_search(tree, k=10)
+    assert ra.num_hits == rb.num_hits
+    pd.testing.assert_frame_equal(ra.hits, rb.hits)
+
+
+def test_v2_rejects_oversized_dictionary(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("v2big"))
+    docs = webpages(spark, 100, 2)
+    with pytest.raises(ValueError, match="broadcast_terms_threshold"):
+        build_snapshot(spark, docs, d, BuildConfig(
+            docs_per_segment=50, pipeline="segment_local",
+            broadcast_terms_threshold=5))
