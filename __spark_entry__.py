@@ -406,6 +406,21 @@ def _q_multimodal(spark, sf_dir):
         .alias("feature_q"))
 
 
+def _q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling fan-out over binary media rows (deterministic
+    byte-slice stand-in for a keyframe sampler; plumbing real). Frames
+    returned as md5 hex so the driver canonicalizer can hash them.
+    Oracle slices the varchar text — byte-identical because the
+    synthetic corpus is pure ASCII."""
+    docs = _load(spark, sf_dir, "documents")
+    media = multimodal.attach_media(
+        docs.withColumn("payload", F.encode("text", "utf-8")), "payload", "video")
+    frames = multimodal.sample_frames(media, n_frames=4)
+    return frames.select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.md5("frame").alias("frame_hash"), "frame_bytes")
+
+
 def _q_filtered_range(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     h = FilteredRangeFacetHandler(
@@ -878,6 +893,7 @@ def queries() -> dict[str, _T]:
         "simsearch_lsh_topk": _q_simsearch_lsh,
         "simsearch_lsh_topk_indexed": _q_simsearch_lsh_indexed,
         "multimodal_features": _q_multimodal,
+        "multimodal_frame_sample": _q_multimodal_frames,
         "sessionize_events": _q_sessionize,
         "facet_filtered_range": _q_filtered_range,
         "facet_multirange_toklen": _q_multirange,
@@ -1322,6 +1338,14 @@ WHERE a.vec_id < b.vec_id
   AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.5
+""",
+        "multimodal_frame_sample": """
+WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS L FROM documents)
+SELECT doc_id, i AS frame_idx,
+       md5(substring(text, (i * L) // 4 + 1,
+                     ((i + 1) * L) // 4 - (i * L) // 4)) AS frame_hash,
+       (((i + 1) * L) // 4 - (i * L) // 4)::BIGINT AS frame_bytes
+FROM d, range(0, 4) r(i)
 """,
         "multimodal_features": """
 SELECT doc_id, 'text' AS media_type, octet_length(encode(text))::BIGINT AS n_bytes,

@@ -101,10 +101,11 @@ def main() -> None:
 
     headline = [
         "bm25_topk_and", "bm25_phrase", "bm25_recency_boost", "bm25_facet_lang",
+        "bm25_matchall_sel", "section_search_bool", "term_vectors_page",
         "browse_multiselect_expand", "facet_groupby_flag_status",
         "facet_path_region", "dedup_exact", "dedup_minhash_lsh", "simhash64",
-        "simsearch_topk_cosine", "simsearch_neardup_lsh", "token_counts",
-        "sessionize_events",
+        "simsearch_topk_cosine", "simsearch_neardup_lsh",
+        "simsearch_lsh_topk_indexed", "token_counts", "sessionize_events",
     ]
     qmap = entrymod.queries()
     # ensure the sf-dir documents index exists BEFORE timing the bm25

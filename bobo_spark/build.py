@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -451,9 +452,23 @@ def _encode_segment_local(batches, cfg: BuildConfig, tmap_bc):
     if not parts:
         return
     allp = pd.concat(parts, ignore_index=True)
-    order = np.lexsort((allp["doc_id"].to_numpy(np.int64),
-                        allp["term_id"].to_numpy(np.int64),
-                        allp["segment"].to_numpy(np.int64)))
+    seg = allp["segment"].to_numpy(np.int64)
+    tid = allp["term_id"].to_numpy(np.int64)
+    doc = allp["doc_id"].to_numpy(np.int64)
+    # single-key packed sort when the per-partition ranges fit 63 bits
+    # (they essentially always do: a partition spans few segments and
+    # a bounded doc range) — one np.argsort over uint64 beats the
+    # 3-key lexsort ~2-3× on the memory-bound sort that dominates the
+    # encode stage; lexsort stays as the general fallback
+    so, to, do_ = seg.min(), tid.min(), doc.min()
+    bs = max(int(seg.max() - so), 0).bit_length()
+    bt = max(int(tid.max() - to), 0).bit_length()
+    bd = max(int(doc.max() - do_), 0).bit_length()
+    if bs + bt + bd <= 63:
+        key = (((seg - so) << (bt + bd)) | ((tid - to) << bd) | (doc - do_))
+        order = np.argsort(key, kind="stable")
+    else:
+        order = np.lexsort((doc, tid, seg))
     allp = allp.iloc[order].reset_index(drop=True)
     yield from _encode_partition([allp], cfg.block_size)
 
@@ -480,6 +495,28 @@ def _decode_forward_runs(batches):
         docs = cums - np.repeat(cums[starts], nds) + np.repeat(firsts, nds)
         dl = _vbd(b"".join(pdf["dl_bytes"])).astype(np.int64)
         yield pd.DataFrame({"doc_id": docs, "doclen": dl})
+
+
+def _identity_partition_keys(spark: SparkSession, n_parts: int) -> list[int]:
+    """For each target partition i, an int key k_i with
+    ``pmod(murmur3(k_i), n_parts) == i`` — so ``repartition(n, key)``
+    places a DRIVER-computed partition index exactly, turning hash
+    partitioning into explicit range partitioning with ZERO sampling
+    pass (repartitionByRange would evaluate the whole child once just
+    to sample boundaries). The probe asks Spark itself for its hash
+    values (one tiny local job), so the mapping can never drift from
+    the engine's Murmur3 seed/variant."""
+    found: dict[int, int] = {}
+    base = 0
+    while len(found) < n_parts:
+        cand = spark.range(base, base + n_parts * 20).select(
+            F.col("id").cast("int").alias("k"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_parts)).alias("p"),
+        ).collect()
+        for r in cand:
+            found.setdefault(r["p"], r["k"])
+        base += n_parts * 20
+    return [found[i] for i in range(n_parts)]
 
 
 # ------------------------------------------------------------------ the build
@@ -520,6 +557,16 @@ def build_snapshot(
     if snap is None:
         snap = cat.begin_snapshot()
     sid = snap.snapshot_id
+    _stage_t = [time.time()]
+
+    def mark(name: str) -> None:
+        """mark_stage + wall-time profile: per-stage seconds land in
+        snap.stats['stage_secs'] (published with the manifest), the
+        raw material for scaling work — no separate profiler run."""
+        now = time.time()
+        snap.stats.setdefault("stage_secs", {})[name] = round(now - _stage_t[0], 2)
+        _stage_t[0] = now
+        cat.mark_stage(snap, name)
 
     # text already a column => the doc table stays SLIM (ords + n_bytes,
     # no text rewrite — the pairs stage re-reads text from the caller's
@@ -542,6 +589,12 @@ def build_snapshot(
         # both dictionaries from ONE stacked aggregation job
         aggs = _dict_aggs(base.select("doc_id", "lang", "ts_bucket"),
                           ["lang", "ts_bucket"])
+        # doc-id range of THIS batch (pre-merge aggs cover every doc):
+        # lets the postings stage compute range-partition boundaries
+        # driver-side instead of paying repartitionByRange's sampling
+        # pass over the full text
+        snap.stats["doc_min"] = int(aggs["lang"]["min_doc"].min())
+        snap.stats["doc_max"] = int(aggs["lang"]["max_doc"].max())
         lang_dict = _build_dict(aggs["lang"], parent_lang)
         ts_dict = _build_dict(aggs["ts_bucket"], parent_ts)
         for name, d in (("dict_lang", lang_dict), ("dict_ts_bucket", ts_dict)):
@@ -563,7 +616,7 @@ def build_snapshot(
             .write.mode("overwrite")
             .parquet(docs_path)
         )
-        cat.mark_stage(snap, "docs")
+        mark("docs")
 
     docs_t = spark.read.parquet(docs_path)
 
@@ -595,7 +648,7 @@ def build_snapshot(
             to_sections,
             schema="doc_id long, n_secs int, sec_bytes binary, segment long",
         ).write.mode("overwrite").parquet(sections_path)
-        cat.mark_stage(snap, "sections")
+        mark("sections")
 
     # ---- pair source (both pipelines): (doc_id, text, ords, segment) ----
     if have_text:
@@ -677,7 +730,7 @@ def build_snapshot(
         if not _pairs_cache:
             if "pairs" not in snap.stages:
                 build_pairs_table()
-                cat.mark_stage(snap, "pairs")
+                mark("pairs")
             _pairs_cache.append(spark.read.parquet(pairs_path))
         return _pairs_cache[0]
 
@@ -718,7 +771,7 @@ def build_snapshot(
         else:
             full = assign_sorted_ids(delta_terms, spark, id_base=0)
         full.write.mode("overwrite").parquet(terms_path)
-        cat.mark_stage(snap, "terms")
+        mark("terms")
 
     terms = spark.read.parquet(terms_path)
 
@@ -755,7 +808,7 @@ def build_snapshot(
                 "sections": list(cfg.sections) if cfg.sections else None,
             }
         )
-        cat.mark_stage(snap, "stats")
+        mark("stats")
 
     # ---- stage: postings -------------------------------------------------
     postings_path = cat.table_path("postings", sid)
@@ -782,9 +835,25 @@ def build_snapshot(
             tmap_pd = terms.select("term", "term_id").toPandas()
             tmap_bc = spark.sparkContext.broadcast(
                 tmap_pd.set_index("term")["term_id"])
+            dmin = snap.stats.get("doc_min")
+            dmax = snap.stats.get("doc_max")
+            span = (dmax - dmin + 1) if dmin is not None else None
+            if span and span <= 2 * max(1, snap.stats.get("new_docs", 0)):
+                # dense doc ids: boundaries are pure arithmetic — skip
+                # repartitionByRange's sampling pass (a full extra
+                # evaluation of the text source) via identity keys
+                keys = _identity_partition_keys(spark, n_parts)
+                part = F.floor(
+                    (F.col("doc_id") - F.lit(dmin)) * F.lit(n_parts)
+                    / F.lit(span)).cast("int")
+                pk = F.element_at(F.array(*[F.lit(k) for k in keys]), part + 1)
+                src2 = (pair_src.withColumn("_pk", pk)
+                        .repartition(n_parts, "_pk").drop("_pk"))
+            else:
+                # sparse/unknown id space: fall back to sampled ranges
+                src2 = pair_src.repartitionByRange(n_parts, "doc_id")
             (
-                pair_src.repartitionByRange(n_parts, "doc_id")
-                .mapInPandas(
+                src2.mapInPandas(
                     lambda it: _encode_segment_local(it, cfg, tmap_bc),
                     schema=POSTINGS_SCHEMA)
                 .write.mode("overwrite")
@@ -804,11 +873,16 @@ def build_snapshot(
                 .write.mode("overwrite")
                 .parquet(postings_path)
             )
-        cat.mark_stage(snap, "postings")
+        mark("postings")
 
-    # ---- stage: forward --------------------------------------------------
+    # ---- stages: forward + meta (run CONCURRENTLY) ------------------------
+    # both are small jobs over the postings output with mostly-fixed
+    # driver/scheduling latency — overlapping them removes a fixed cost
+    # that would otherwise deflate cluster-scaling efficiency
     forward_path = cat.table_path("forward", sid)
-    if "forward" not in snap.stages:
+    meta_path = cat.table_path("meta", sid)
+
+    def _run_forward() -> None:
         # same pipeline decision as the postings stage, recomputed so a
         # resume that skipped postings still picks the matching source
         n_terms = snap.stats.get("n_terms") or terms.count()
@@ -842,11 +916,8 @@ def build_snapshot(
             .write.mode("overwrite")
             .parquet(forward_path)
         )
-        cat.mark_stage(snap, "forward")
 
-    # ---- stage: meta (lineage + metrics) ----------------------------------
-    meta_path = cat.table_path("meta", sid)
-    if "meta" not in snap.stages:
+    def _run_meta() -> None:
         post = spark.read.parquet(postings_path)
         (
             # pseudo forward runs (term_id=-1, segment_local pipeline)
@@ -870,7 +941,24 @@ def build_snapshot(
             .write.mode("overwrite")
             .parquet(meta_path)
         )
-        cat.mark_stage(snap, "meta")
+
+    need_fwd = "forward" not in snap.stages
+    need_meta = "meta" not in snap.stages
+    if need_fwd or need_meta:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = []
+            if need_fwd:
+                futs.append(ex.submit(_run_forward))
+            if need_meta:
+                futs.append(ex.submit(_run_meta))
+            for f in futs:
+                f.result()
+        if need_fwd:
+            mark("forward")
+        if need_meta:
+            mark("meta")
 
     # ---- publish ----------------------------------------------------------
     if "published" not in snap.stages:
@@ -891,5 +979,5 @@ def build_snapshot(
             cumulative["sections"] = prev + [sections_path]
         snap.tables = cumulative
         cat.update_snapshot(snap)
-        cat.mark_stage(snap, "published")
+        mark("published")
     return cat.get(sid)

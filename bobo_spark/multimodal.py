@@ -82,3 +82,42 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
             })
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, frame_bytes long"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling plumbing for video-like payloads: one media row
+    fans out to ``n_frames`` (doc_id, frame_idx, frame) rows via one
+    Arrow-batched ``mapInPandas`` pass.
+
+    The REAL sampler would seek container keyframes (ffmpeg) — absent
+    here, the deterministic stand-in cuts the payload into n
+    evenly-spaced byte slices, which exercises the exact schema,
+    fan-out shape and batch sizing a keyframe sampler needs. Run
+    ``repartition_by_bytes`` first so fat payloads can't blow up an
+    Arrow batch."""
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, idxs, frames, sizes = [], [], [], []
+            for d, payload in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(payload)
+                n = len(b)
+                for j in range(n_frames):
+                    s, e = (j * n) // n_frames, ((j + 1) * n) // n_frames
+                    ids.append(d)
+                    idxs.append(j)
+                    frames.append(b[s:e])
+                    sizes.append(e - s)
+            yield pd.DataFrame({
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "frame_idx": np.asarray(idxs, dtype=np.int32),
+                "frame": frames,
+                "frame_bytes": np.asarray(sizes, dtype=np.int64),
+            })
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

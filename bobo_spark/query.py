@@ -229,8 +229,19 @@ def _block_bound(g: pd.DataFrame, idf_t: float, avgdl: float) -> np.ndarray:
                         g["min_dl"].to_numpy(np.float64), idf_t, avgdl)
 
 
+def _recency_factor(ts: np.ndarray, rec: dict) -> np.ndarray:
+    """Quadratic decay factor per doc from its time-bucket ordinal
+    (≙ query/RecencyBoostScorerBuilder.java:58-60). Shared by scoring
+    and by recency-aware pruning so the two can never diverge."""
+    ord_ms = np.asarray(rec["ord_ms"], dtype=np.float64)
+    x = rec["now_ms"] - ord_ms[ts]
+    mx = rec["max_factor"] + 1.0
+    a = (1.0 - mx) / (float(rec["cutoff_ms"]) ** 2)
+    return np.where(x > rec["cutoff_ms"], 1.0, a * x * x + mx)
+
+
 def _blockmax_prune(groups: dict, present: list, k: int, avgdl: float,
-                    doc_cache: dict | None = None):
+                    doc_cache: dict | None = None, recency: dict | None = None):
     """Block-max two-phase pruning for disjunctive top-k.
 
     θ = k-th largest exact single-term contribution of the
@@ -247,9 +258,17 @@ def _blockmax_prune(groups: dict, present: list, k: int, avgdl: float,
     gmax = {tid: (b.max() if b.size else 0.0) for tid, b in bounds.items()}
     tstar = max(present, key=lambda t: t["idf"])
     star_docs = doc_cache[tstar["term_id"]][0] if doc_cache else None
-    docs, tf, dl, _lang, _ts = _decode_term_blocks(
+    docs, tf, dl, _lang, ts = _decode_term_blocks(
         groups[tstar["term_id"]], docs=star_docs)
     c = bm25.contrib(tf, dl, tstar["idf"], avgdl)
+    # recency-aware variant: θ uses each doc's EXACT boost (total
+    # boosted score = Σcontrib × factor ≥ contrib_t* × factor), block
+    # bounds scale by the boost's global max (factor ≤ max_factor+1
+    # everywhere — the parabola peaks at x=0) — both stay safe
+    mx = 1.0
+    if recency:
+        c = c * _recency_factor(ts, recency)
+        mx = recency["max_factor"] + 1.0
     keeps: dict = {}
     if c.size < k:
         return groups, keeps
@@ -261,7 +280,7 @@ def _blockmax_prune(groups: dict, present: list, k: int, avgdl: float,
             out[tid] = groups[tid]
             continue
         cross = sum(gmax[o["term_id"]] for o in present if o["term_id"] != tid)
-        keep = (bounds[tid] + cross) >= theta
+        keep = (bounds[tid] + cross) * mx >= theta
         out[tid] = groups[tid][keep]
         keeps[tid] = keep
     return out, keeps
@@ -301,12 +320,11 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
             keep = (idx >= 0) & (rl[np.maximum(idx, 0)] >= f)
             groups[t["term_id"]] = g[keep]
 
-    # ---- disjunctive block-max pruning (top-k only: no facets/selections;
-    # recency boost invalidates the block score bounds)
+    # ---- disjunctive block-max pruning (top-k only: no facets or
+    # selections; recency uses the boost-aware bound variant)
     pruned_mode = (
         mode == "or" and plan.get("prune") and not plan["facets"]
         and sel_lang is None and sel_ts is None and len(present) > 1
-        and not plan.get("recency")
     )
     n_hits_exact = None
     doc_cache: dict = {}
@@ -324,7 +342,8 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
             int(np.unique(np.concatenate([d for d, _ in doc_cache.values()])).size)
             if doc_cache else 0
         )
-        groups, keep_masks = _blockmax_prune(groups, present, k, avgdl, doc_cache)
+        groups, keep_masks = _blockmax_prune(groups, present, k, avgdl,
+                                             doc_cache, plan.get("recency"))
 
     decoded = {}
     for t in present:
@@ -419,12 +438,7 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
     # ---- recency boost: quadratic decay factor on the doc's time bucket
     rec = plan.get("recency")
     if rec:
-        ord_ms = np.asarray(rec["ord_ms"], dtype=np.float64)
-        x = rec["now_ms"] - ord_ms[doc_ts]
-        mx = rec["max_factor"] + 1.0
-        a = (1.0 - mx) / (float(rec["cutoff_ms"]) ** 2)
-        factor = np.where(x > rec["cutoff_ms"], 1.0, a * x * x + mx)
-        scores = scores * factor
+        scores = scores * _recency_factor(doc_ts, rec)
 
     # ---- facet counts (multi-select: leave-one-out masks) + hits
     full_mask = m if m is not None else np.ones(cand.size, dtype=bool)

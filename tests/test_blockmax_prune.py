@@ -33,3 +33,31 @@ def test_pruned_equals_exhaustive(reader):
         assert a.num_hits == b.num_hits, q  # exact count survives pruning
         pruned_nonempty += len(a.hits) > 0
     assert pruned_nonempty > 5
+
+
+def test_pruned_recency_equals_exhaustive(reader):
+    """Recency-aware pruning (θ from exact boosted contribs, block
+    bounds scaled by the factor's global max) must stay exact."""
+    import pandas as pd
+
+    # "now" just past the corpus so the decay window bites real docs
+    d = reader.dicts["ts_bucket"]
+    now_ms = int(pd.to_datetime(d["value"], utc=True).astype("int64").max()
+                 // 1_000_000) + 86400000
+    vocab = make_vocab()
+    qs = reference_queryset(vocab, n_conj=0, n_disj=8, n_lang=0, n_ts=0)
+    qs.append({"query": ["ba", "be", "bi"], "mode": "or"})
+    nonempty = 0
+    for cutoff_days in (30, 90):
+        rec = {"now_ms": now_ms, "cutoff_ms": cutoff_days * 86400000,
+               "max_factor": 2.0}
+        for q in qs:
+            a = reader.search(SearchRequest(query=q["query"], mode="or",
+                                            k=10, prune=True, recency=rec))
+            b = reader.search(SearchRequest(query=q["query"], mode="or",
+                                            k=10, prune=False, recency=rec))
+            assert a.hits["doc_id"].tolist() == b.hits["doc_id"].tolist(), q
+            assert a.hits["score"].tolist() == b.hits["score"].tolist(), q
+            assert a.num_hits == b.num_hits, q
+            nonempty += len(a.hits) > 0
+    assert nonempty > 10
