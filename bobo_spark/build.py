@@ -9,29 +9,32 @@ the north rule's "resumable from Iceberg snapshot checkpoints"):
    ordinals. Dictionaries are value-sorted on first build; later
    snapshots append new values after the parent max ordinal so
    existing forward/posting data stays valid.
-2. ``pairs``    — Arrow-vectorized tokenize → (doc_id, term, tf,
-   doclen, lang_ord, ts_ord, segment). No shuffle: term counting is
-   per-batch pandas group counting. Facet values also emit sentinel
-   pairs ("\\x00field:ord", tf=1) so selective selections get an
-   inverted access path (≙ AdaptiveFacetFilter); sentinels are
-   excluded from corpus token statistics.
-3. ``terms``    — global term dictionary (df, cf) + dense ``term_id``
+2. ``terms``    — global term dictionary (df, cf) + dense ``term_id``
    assigned by distributed two-pass sorted rank (lexicographic on
    first build; new terms append after parent max id → old postings
-   never invalidated).
-4. ``postings`` — pairs ⋈ terms, then ``repartitionByRange(segment,
-   term_id, doc_id)`` (the skew defusal: range boundaries are sampled
-   over the composite key, so a Zipf head term is split across many
-   partitions by doc range instead of hashing onto one) →
-   ``sortWithinPartitions`` → ``mapInPandas`` block encoder
-   (docID-delta varbyte + tf/doclen/facet-ordinal varbyte streams +
-   block-max metadata). Blocks are self-contained: scoring and facet
-   counting need no query-time joins.
-5. ``forward``  — per-segment doc table (doclen, url, facet ordinals),
+   never invalidated). Default (segment_local) pipeline counts terms
+   straight off the tokenizer with map-side partials; the classic
+   pipeline first materializes a ``pairs`` table (Arrow-vectorized
+   tokenize → (doc_id, term, packed, segment) rows incl. facet
+   sentinel pairs "\\x00field:ord" for the AdaptiveFacetFilter-style
+   inverted access path) and aggregates that.
+3. ``postings`` — segment_local (default): ONE wide shuffle of the
+   raw text by doc range (driver-computed identity partition keys —
+   no boundary-sampling pass when doc ids are dense), then tokenize +
+   broadcast term-id map + packed-key sort + block encode inside each
+   partition; per-doc forward data rides as pseudo runs (term_id=-1).
+   Classic: pairs ⋈ terms → ``repartitionByRange(segment, term_id,
+   doc_id)`` (sampled boundaries split a Zipf head term by doc range)
+   → ``sortWithinPartitions`` → block encoder. Both emit the same
+   self-contained blocks (docID-delta varbyte + tf/doclen/facet
+   streams + block-max metadata): scoring and facet counting need no
+   query-time joins.
+4. ``forward``  — per-segment doc table (doclen, url, facet ordinals),
    the Bobo FacetDataCache analogue (facets/data/FacetDataCache.java:33-37).
-6. ``meta``     — per-segment lineage: rows, bytes, term count,
-   xxhash64 checksum + build metrics.
-7. ``published`` — atomic manifest commit.
+5. ``meta``     — per-segment lineage: rows, bytes, term count,
+   xxhash64 checksum + build metrics. Runs CONCURRENTLY with forward
+   (both are small jobs over the postings output).
+6. ``published`` — atomic manifest commit.
 
 Block-max metadata stores ``(max_tf, min_dl)`` per block rather than a
 float score bound: the query engine derives a *safe* upper bound from

@@ -118,6 +118,40 @@ def run_ceiling(cores: int, n_tasks: int = 64, iters: int = 60) -> float:
     return sec
 
 
+def run_text_ceiling(cores: int, n_rows: int = 600_000, n_tasks: int = 64) -> float:
+    """Text-processing ceiling probe: an engine-free mapInPandas doing
+    exactly the primitive the v2 build spends its time on — vectorized
+    pandas regex tokenization + factorize over synthetic strings —
+    with fixed total work. String processing streams memory (object
+    arrays, regex scans), so its core-scaling ceiling sits well below
+    the cache-resident numpy probe; this is the applicable ceiling for
+    the tokenize-dominated segment_local build."""
+    import numpy as np
+    import pandas as pd
+    from bobo_spark.session import get_spark
+
+    spark = get_spark(f"textceil_{cores}", cores=cores)
+
+    def burn(batches):
+        for pdf in batches:
+            i = pdf["id"].to_numpy(np.int64)
+            # deterministic synthetic text, ~25 tokens/row
+            words = np.array([f"w{k}" for k in range(997)], dtype=object)
+            toks = words[(i[:, None] * 31 + np.arange(25)) % 997]
+            texts = pd.Series([" ".join(r) for r in toks])
+            flat = texts.str.findall(r"[a-z0-9]+").explode()
+            codes, uniq = pd.factorize(flat.to_numpy(object), sort=False)
+            yield pd.DataFrame({"s": [int(codes.sum() % 997 + len(uniq))]})
+
+    df = spark.range(0, n_rows, 1, n_tasks)
+    df.mapInPandas(burn, "s long").count()  # warm-up
+    t0 = time.time()
+    df.mapInPandas(burn, "s long").count()
+    sec = time.time() - t0
+    spark.stop()
+    return sec
+
+
 def run_shuffle_ceiling(cores: int, n_rows: int = 40_000_000) -> float:
     """Shuffle-bandwidth ceiling probe: a bare Exchange (range-partition
     + sort, same shape as the postings stage) over ~40-byte rows with
@@ -149,6 +183,18 @@ def main() -> None:
         hi = min(run_shuffle_ceiling(n_hi) for _ in range(reps))
         print(json.dumps({
             "ceiling_probe": "bare range-partition+sort Exchange, md5 payload rows",
+            f"sec_local{n_lo}": round(lo, 2), f"sec_local{n_hi}": round(hi, 2),
+            "ceiling_efficiency": round((lo / hi) / (n_hi / n_lo), 3),
+        }))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ceiling-text":
+        n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else n_lo * 4
+        reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+        lo = min(run_text_ceiling(n_lo) for _ in range(reps))
+        hi = min(run_text_ceiling(n_hi) for _ in range(reps))
+        print(json.dumps({
+            "ceiling_probe": "engine-free pandas regex tokenize + factorize, fixed work",
             f"sec_local{n_lo}": round(lo, 2), f"sec_local{n_hi}": round(hi, 2),
             "ceiling_efficiency": round((lo / hi) / (n_hi / n_lo), 3),
         }))
