@@ -901,7 +901,19 @@ class IndexReader:
         per-query driver/scheduling overhead amortizes to zero, so
         batch retrieval throughput scales with executors. This is the
         bulk-evaluation pattern (training-data mining, offline query
-        sets); use search() for single-query latency."""
+        sets); use search() for single-query latency.
+
+        MatchAll requests (query=None) run on the forward-scan path
+        individually — they never touch the postings job."""
+        matchall = {i for i, r in enumerate(reqs) if r.query is None}
+        if matchall:
+            out: list[SearchResult | None] = [None] * len(reqs)
+            rest = [r for i, r in enumerate(reqs) if i not in matchall]
+            rest_results = iter(self.search_many(rest) if rest else [])
+            for i, r in enumerate(reqs):
+                out[i] = (self._matchall_search(r) if i in matchall
+                          else next(rest_results))
+            return out
         plans = [self.plan(r) for r in reqs]
         for p in plans:
             p["prune"] = False  # batch mode: exact scoring, shared scans

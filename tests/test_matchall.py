@@ -87,3 +87,19 @@ def test_term_vectors(env):
     gmap = {(r["doc_id"], r["term"]): (r["tf"], r["positions"])
             for _, r in got.iterrows()}
     assert gmap == want
+
+
+def test_search_many_with_matchall(env):
+    """A MatchAll request inside a batch must return the same result
+    as its solo search(), alongside normal term queries."""
+    reader, docs = env
+    reqs = [
+        SearchRequest(query="ba be", mode="and", k=5),
+        SearchRequest(query=None, k=5, selections={"lang": ["en"]}),
+        SearchRequest(query="ka", mode="or", k=5),
+    ]
+    batch = reader.search_many(reqs)
+    for req, got in zip(reqs, batch):
+        solo = reader.search(req)
+        assert got.num_hits == solo.num_hits
+        assert got.hits["doc_id"].tolist() == solo.hits["doc_id"].tolist()
