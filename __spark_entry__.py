@@ -383,6 +383,28 @@ def _q_simsearch_lsh_indexed(spark, sf_dir):
     return simsearch.lsh_topk_indexed(spark, d, qv, k=10)
 
 
+def _q_simsearch_ivf(spark, sf_dir):
+    """ANN top-k over the materialized IVF index (k-means cells,
+    partition-pruned reads — simsearch.build_ivf_index). The oracle
+    probes ALL cells: centroid training involves data-dependent float
+    averaging whose summation order cannot be pinned across engines,
+    so the exact-equality check covers the index round-trip (partition
+    write/read + cosine top-k) while nprobe<k routing correctness is
+    pinned by plan-asserted local tests (tests/test_lsh_scale.py)."""
+    key = sf_dir.rstrip("/")
+    d = _LSH_IDX_CACHE.get(key + "#ivf")
+    if d is None:
+        d = f"/tmp/bobo_spark_ivfidx_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+        if not os.path.exists(os.path.join(d, "meta.json")):
+            simsearch.build_ivf_index(
+                _load(spark, sf_dir, "embeddings"), d, dim=64,
+                n_centroids=8, sample=200)
+        _LSH_IDX_CACHE[key + "#ivf"] = d
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    return simsearch.ivf_topk(spark, d, qv, k=10, nprobe=8)
+
+
 def _q_sim_neardup_lsh(spark, sf_dir):
     """Scale-path near-dup pairs: hyperplane-bucketed candidates, exact
     cosine filter — the shipped operator (the crossJoin variant stays
@@ -892,6 +914,7 @@ def queries() -> dict[str, _T]:
         "simsearch_neardup_lsh": _q_sim_neardup_lsh,
         "simsearch_lsh_topk": _q_simsearch_lsh,
         "simsearch_lsh_topk_indexed": _q_simsearch_lsh_indexed,
+        "simsearch_ivf_topk": _q_simsearch_ivf,
         "multimodal_features": _q_multimodal,
         "multimodal_frame_sample": _q_multimodal_frames,
         "sessionize_events": _q_sessionize,
@@ -1398,6 +1421,17 @@ FROM documents WHERE lang = 'en'
 """,
         "simsearch_lsh_topk": _lsh_topk_sql(dim=64, n_planes=6, k=10),
         "simsearch_lsh_topk_indexed": _lsh_topk_sql(dim=64, n_planes=6, k=10, qid=7),
+        "simsearch_ivf_topk": """
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM b WHERE vec_id = 3)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4)
+         AS cosine
+FROM b, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
         "simsearch_neardup_lsh": f"""
 WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_bucket_sql(64, 6)} AS bucket
            FROM embeddings),

@@ -176,3 +176,99 @@ def lsh_topk_indexed(spark, index_dir: str, query_vec: list[float], k: int = 10,
     df = spark.read.parquet(os.path.join(index_dir, "data"))
     cand = df.where(F.col("_bucket").isin(buckets))
     return cosine_topk(cand, query_vec, k, meta["id_col"], meta["vec_col"])
+
+
+# ------------------------------------------------------------------- IVF ANN
+
+
+def kmeans_centroids(vectors: np.ndarray, k: int, iters: int = 10,
+                     seed: int = 7) -> np.ndarray:
+    """Deterministic Lloyd k-means on the unit sphere for IVF training.
+
+    Init picks k rows by counter-hashed rank (no RNG state), iteration
+    count is fixed, assignment ties break to the lowest centroid id
+    (argmax first-occurrence), and centroids renormalize each round —
+    the same inputs always yield the same centroids, which is what
+    lets an exact SQL oracle embed them as literals. Runs DRIVER-side
+    on a small sample: the classic IVF recipe (train small, assign at
+    scale)."""
+    v = np.asarray(vectors, dtype=np.float64)
+    v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    n = len(v)
+    order = np.argsort(
+        _splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(seed * 1009)),
+        kind="stable")
+    cent = v[order[:k]].copy()
+    for _ in range(iters):
+        assign = np.argmax(v @ cent.T, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                cent[j] = v[m].mean(axis=0)
+        cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def ivf_cell_col(vec_col: str, centroids: np.ndarray) -> Column:
+    """Nearest-centroid cell id as a pure expression: argmax of the
+    k dot products (norm of v is common across cells, centroids are
+    unit — so argmax dot == argmax cosine); first max wins ties."""
+    v = _dvec(F.col(vec_col))
+    dots = F.array(*[
+        _dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids
+    ])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def build_ivf_index(df: DataFrame, out_dir: str, dim: int,
+                    n_centroids: int = 16, sample: int = 512,
+                    iters: int = 10, seed: int = 7,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Materialize an IVF ANN index: k-means centroids trained on a
+    deterministic sample (lowest ``sample`` ids) driver-side, vectors
+    written PARTITIONED BY their nearest-centroid cell, centroids
+    pinned in a meta sidecar. A query then reads only its nprobe
+    closest cells — partition pruning does the skipping, exactly like
+    the LSH index but with data-adaptive regions."""
+    import json
+    import os
+
+    samp = (df.orderBy(id_col).limit(sample)
+            .select(vec_col).toPandas()[vec_col])
+    cent = kmeans_centroids(np.array([np.asarray(x, dtype=np.float64)
+                                      for x in samp]), n_centroids, iters, seed)
+    (
+        df.withColumn("_cell", ivf_cell_col(vec_col, cent))
+        .write.mode("overwrite").partitionBy("_cell")
+        .parquet(os.path.join(out_dir, "data"))
+    )
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"dim": dim, "n_centroids": n_centroids, "sample": sample,
+                   "iters": iters, "seed": seed, "id_col": id_col,
+                   "vec_col": vec_col,
+                   "centroids": [[float(x) for x in c] for c in cent]}, f)
+
+
+def ivf_probe_cells(query_vec: list[float], centroids: np.ndarray,
+                    nprobe: int = 1) -> list[int]:
+    """The nprobe cells nearest the query (dot desc, id asc on ties)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    dots = np.asarray(centroids, dtype=np.float64) @ q
+    order = np.lexsort((np.arange(len(dots)), -dots))
+    return [int(i) for i in order[:nprobe]]
+
+
+def ivf_topk(spark, index_dir: str, query_vec: list[float], k: int = 10,
+             nprobe: int = 1) -> DataFrame:
+    """ANN top-k over the materialized IVF index: exact cosine over
+    the vectors of the nprobe closest cells only (partition-pruned
+    read)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    cells = ivf_probe_cells(query_vec, np.array(meta["centroids"]), nprobe)
+    df = spark.read.parquet(os.path.join(index_dir, "data"))
+    cand = df.where(F.col("_cell").isin(cells))
+    return cosine_topk(cand, query_vec, k, meta["id_col"], meta["vec_col"])

@@ -93,3 +93,43 @@ def test_cap_is_the_default(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = textops.minhash_lsh_pairs(docs, threshold=0.9).toPandas()
     assert len(pairs) == 1499 and set(pairs["id_a"]) == {0}
+
+
+@pytest.fixture(scope="module")
+def ivf_index(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ivf_idx"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    simsearch.build_ivf_index(emb, d, dim=64, n_centroids=8, sample=200)
+    return d, emb
+
+
+def test_ivf_partition_pruning_and_equivalence(spark, ivf_index):
+    d, emb = ivf_index
+    import json
+    meta = json.load(open(f"{d}/meta.json"))
+    cent = np.array(meta["centroids"])
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    df = simsearch.ivf_topk(spark, d, qv, k=10, nprobe=2)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "_cell" in plan and "PartitionFilters" in plan, plan[:800]
+    # equals exact cosine restricted to the probed cells (flat scan)
+    cells = simsearch.ivf_probe_cells(qv, cent, nprobe=2)
+    want = simsearch.cosine_topk(
+        emb.withColumn("_c", simsearch.ivf_cell_col("embedding", cent))
+        .where(F.col("_c").isin(cells)), qv, k=10).toPandas()
+    assert df.toPandas().values.tolist() == want.values.tolist()
+
+
+def test_ivf_centroids_deterministic(spark, ivf_index):
+    d, emb = ivf_index
+    samp = (emb.orderBy("vec_id").limit(200)
+            .select("embedding").toPandas()["embedding"])
+    vs = np.array([np.asarray(x, dtype=np.float64) for x in samp])
+    c1 = simsearch.kmeans_centroids(vs, 8)
+    c2 = simsearch.kmeans_centroids(vs, 8)
+    assert (c1 == c2).all()
+    # every cell id in the written index is a valid centroid index and
+    # more probes can only widen the candidate set
+    one = simsearch.ivf_topk(spark, d, [1.0] * 64, k=10**6, nprobe=1).count()
+    allp = simsearch.ivf_topk(spark, d, [1.0] * 64, k=10**6, nprobe=8).count()
+    assert allp == emb.count() and one <= allp
