@@ -100,3 +100,36 @@ def test_hits_page_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan[:1200]
     # the global-window exchange must be fed by the limit, not the scan
     assert plan.index("TakeOrderedAndProject") > plan.index("Window"), plan[:1200]
+
+
+def test_section_search_term_filter_pushed(spark, tmp_path_factory):
+    """Section-search postings reads must push term_id IN (...) into
+    the parquet scan, same as the BM25 path."""
+    d = str(tmp_path_factory.mktemp("idx_secplan"))
+    build_snapshot(spark, webpages(spark, 300, 2), d,
+                   BuildConfig(docs_per_segment=150, sections=("window", 8)))
+    r = IndexReader(spark, d, cache=False)
+    df = r.section_search_df(("and", ("term", "ba"), ("term", "be")), k=5)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters" in plan and "term_id" in plan, plan[:900]
+
+
+def test_matchall_selection_pushed(reader):
+    """MatchAll hits come from a forward scan with the selection
+    predicate pushed into parquet (never a postings read)."""
+    from bobo_spark.query import SearchRequest
+
+    df = reader.search_df(SearchRequest(query=None, k=5,
+                                        selections={"lang": ["en"]}))
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters" in plan and "lang_ord" in plan, plan[:900]
+    assert "TakeOrderedAndProject" in plan  # docID top-k, not full sort
+
+
+def test_term_vectors_segment_pushed(reader):
+    """Term-vector reconstruction must read only the target docs'
+    segments (segment IN pushed to the scan)."""
+    df = reader.term_vectors([3, 5])
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters" in plan and "segment" in plan, plan[:900]
+    assert "BroadcastHashJoin" in plan  # page-sized result × dictionary
