@@ -85,3 +85,51 @@ def test_v2_rejects_oversized_dictionary(spark, tmp_path_factory):
         build_snapshot(spark, docs, d, BuildConfig(
             docs_per_segment=50, pipeline="segment_local",
             broadcast_terms_threshold=5))
+
+
+def test_mixed_pipeline_incremental(spark, tmp_path_factory):
+    """Snapshot 0 built with the classic pairs pipeline, snapshot 1
+    appended with segment_local: the merged index must answer queries
+    identically to a single-shot build of the full corpus."""
+    base = tmp_path_factory.mktemp("v2mix")
+    docs = webpages(spark, 600, 4)
+    half = 300
+    d_mix = str(base / "mix")
+    build_snapshot(spark, docs.where(F.col("doc_id") < half), d_mix,
+                   BuildConfig(docs_per_segment=150, pipeline="pairs"))
+    build_snapshot(spark, docs.where(F.col("doc_id") >= half), d_mix,
+                   BuildConfig(docs_per_segment=150, pipeline="segment_local"))
+    d_full = str(base / "full")
+    build_snapshot(spark, docs, d_full, BuildConfig(docs_per_segment=150))
+    a, b = IndexReader(spark, d_mix), IndexReader(spark, d_full)
+    assert a.n_docs == b.n_docs and abs(a.avgdl - b.avgdl) < 1e-9
+    for req in (SearchRequest(query="ba be", mode="and", k=10, facets=("lang",)),
+                SearchRequest(query="ka vu", mode="or", k=10),
+                SearchRequest(query=None, k=10, selections={"lang": ["en"]})):
+        ra, rb = a.search(req), b.search(req)
+        assert ra.num_hits == rb.num_hits
+        pd.testing.assert_frame_equal(ra.hits, rb.hits)
+
+
+def test_v2_empty_text_docs(spark, tmp_path_factory):
+    """Docs with empty text must still land in forward (doclen 0) and
+    be reachable via MatchAll, without breaking the encoder."""
+    d = str(tmp_path_factory.mktemp("v2empty"))
+    pdf = pd.DataFrame({
+        "doc_id": range(20),
+        "url": [f"u{i}" for i in range(20)],
+        "warc_ts": pd.Timestamp("2024-03-01"),
+        "lang": "en",
+        "text": ["" if i % 3 == 0 else f"alpha beta doc {i}" for i in range(20)],
+    })
+    docs = spark.createDataFrame(pdf)
+    build_snapshot(spark, docs, d, BuildConfig(
+        docs_per_segment=10, pipeline="segment_local"))
+    r = IndexReader(spark, d)
+    fwd = r._forward.toPandas().set_index("doc_id")["doclen"]
+    assert len(fwd) == 20
+    assert all(fwd[i] == 0 for i in range(0, 20, 3))
+    res = r.search(SearchRequest(query=None, k=25))
+    assert res.num_hits == 20
+    res2 = r.search(SearchRequest(query="alpha", mode="and", k=25))
+    assert res2.num_hits == 20 - len(range(0, 20, 3))
