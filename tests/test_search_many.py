@@ -40,3 +40,19 @@ def test_batch_equals_single(reader):
             a = dict(zip(got.facets[f]["value"], got.facets[f]["count"]))
             b = dict(zip(single.facets[f]["value"], single.facets[f]["count"]))
             assert a == b
+
+
+def test_batch_prunes_like_single(reader):
+    """Batch mode honors per-request pruning (facet-less disjunctive
+    queries) and stays exact vs both solo search() and solo unpruned."""
+    qs = reference_queryset(make_vocab(), n_conj=0, n_disj=8, n_lang=0, n_ts=0)
+    reqs = [SearchRequest(query=q["query"], mode="or", k=10) for q in qs]
+    batch = reader.search_many(reqs)
+    for req, got in zip(reqs, batch):
+        single = reader.search(req)
+        exhaustive = reader.search(SearchRequest(
+            query=req.query, mode="or", k=10, prune=False))
+        for ref in (single, exhaustive):
+            assert got.hits["doc_id"].tolist() == ref.hits["doc_id"].tolist()
+            assert got.hits["score"].tolist() == ref.hits["score"].tolist()
+            assert got.num_hits == ref.num_hits
