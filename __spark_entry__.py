@@ -443,6 +443,20 @@ def _q_multimodal_frames(spark, sf_dir):
         F.md5("frame").alias("frame_hash"), "frame_bytes")
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    """Resize fan-in over binary media rows (deterministic byte
+    decimation standing in for pixel resampling; plumbing real).
+    Output keyed by md5 for driver hashing; oracle decimates the
+    varchar text (byte-identical on the ASCII corpus)."""
+    docs = _load(spark, sf_dir, "documents")
+    media = multimodal.attach_media(
+        docs.withColumn("payload", F.encode("text", "utf-8")), "payload", "image")
+    out = multimodal.resize_media(media, target_bytes=32)
+    return out.select(
+        "doc_id", F.md5("media").alias("media_hash"), "media_bytes",
+        "orig_bytes", F.col("stride").cast("long").alias("stride"))
+
+
 def _q_filtered_range(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     h = FilteredRangeFacetHandler(
@@ -917,6 +931,7 @@ def queries() -> dict[str, _T]:
         "simsearch_ivf_topk": _q_simsearch_ivf,
         "multimodal_features": _q_multimodal,
         "multimodal_frame_sample": _q_multimodal_frames,
+        "multimodal_resize": _q_multimodal_resize,
         "sessionize_events": _q_sessionize,
         "facet_filtered_range": _q_filtered_range,
         "facet_multirange_toklen": _q_multirange,
@@ -1361,6 +1376,22 @@ WHERE a.vec_id < b.vec_id
   AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.5
+""",
+        "multimodal_resize": """
+WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+r AS (SELECT doc_id, n,
+             greatest(1, CAST(ceil(n / 32.0) AS INT)) AS stride
+      FROM d),
+o AS (SELECT d.doc_id,
+             array_to_string(list_transform(range(1, d.n + 1, r.stride),
+                                            i -> substring(d.text, i, 1)), '')
+               AS resized,
+             d.n AS orig_bytes, r.stride
+      FROM d JOIN r USING (doc_id))
+SELECT doc_id, md5(resized) AS media_hash,
+       octet_length(encode(resized))::BIGINT AS media_bytes,
+       orig_bytes::BIGINT AS orig_bytes, stride::BIGINT AS stride
+FROM o
 """,
         "multimodal_frame_sample": """
 WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS L FROM documents)

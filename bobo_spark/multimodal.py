@@ -121,3 +121,42 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             })
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = ("doc_id long, media binary, media_type string, "
+                 "media_bytes long, orig_bytes long, stride int")
+
+
+def resize_media(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize plumbing for image-like payloads: one Arrow-batched
+    ``mapInPandas`` pass mapping each payload to a smaller payload
+    plus (orig size, stride) metadata.
+
+    The REAL operator would decode + bilinear-resample (Pillow) —
+    absent here, the deterministic stand-in decimates the byte stream
+    with stride ceil(len/target) (every stride-th byte), which keeps
+    the exact schema, metadata contract and batch shape a pixel
+    resampler needs. Compose after ``repartition_by_bytes``."""
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs, strides, origs = [], [], []
+            for payload in pdf["media"]:
+                b = bytes(payload)
+                stride = max(1, -(-len(b) // target_bytes))
+                outs.append(b[::stride])
+                strides.append(stride)
+                origs.append(len(b))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media": outs,
+                "media_type": pdf["media_type"],
+                "media_bytes": np.fromiter((len(x) for x in outs), np.int64,
+                                           len(outs)),
+                "orig_bytes": np.asarray(origs, dtype=np.int64),
+                "stride": np.asarray(strides, dtype=np.int32),
+            })
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
