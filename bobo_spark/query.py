@@ -511,7 +511,13 @@ class IndexReader:
         self._terms_pd = None
         if cache:
             # hot-path tables pinned like Lucene's in-heap FacetDataCache
-            # (spills to disk when they don't fit executor memory)
+            # (spills to disk when they don't fit executor memory).
+            # NOT pre-partitioned by segment: Spark cannot propagate a
+            # cached AdaptiveSparkPlan's partitioning (measured — the
+            # groupBy exchange stays either way), and the per-query
+            # exchange only moves the term-filtered blocks (page-scale
+            # bytes), while pre-partitioning would cost a full postings
+            # shuffle at every reader open.
             self._terms = self._terms.persist()
             self._postings = self._postings.persist()
             # small dictionaries also live driver-side: term lookup then
