@@ -81,9 +81,10 @@ class _SegmentEval:
         if self.sec_cfg[0] == "regex":
             self._starts = {}
             if sec_pdf is not None:
-                for _, r in sec_pdf.iterrows():
-                    self._starts[int(r["doc_id"])] = np.cumsum(
-                        vb_decode(r["sec_bytes"]).astype(np.int64))
+                for d, sb in zip(sec_pdf["doc_id"].to_numpy(np.int64),
+                                 sec_pdf["sec_bytes"]):
+                    self._starts[int(d)] = np.cumsum(
+                        vb_decode(sb).astype(np.int64))
 
     # ------------------------------------------------------- occurrences
 
