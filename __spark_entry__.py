@@ -859,6 +859,42 @@ def _q_streaming_ingest(spark, sf_dir):
     )
 
 
+def _q_browse_deletes(spark, sf_dir):
+    """Soft deletes ≙ testBrowseWithDeletes (BoboTestCase.java:
+    2142-2195): delete docs 1 and 2, reopen, hits exclude them while
+    BM25 stats stay at Lucene semantics (unchanged until merge)."""
+    from bobo_spark.build import delete_docs
+
+    key = sf_dir.rstrip("/")
+    idx_dir = f"/tmp/bobo_spark_del_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+    docs = _load(spark, sf_dir, "documents")
+    n = docs.count()
+    reader = None
+    try:
+        reader = IndexReader(spark, idx_dir)
+        if reader.n_docs != n or reader.snap.stats.get("n_deleted") != 2:
+            reader = None
+    except Exception:
+        reader = None
+    if reader is None:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        adapted = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + (F.col("doc_id") * 37) % (180 * 86400)
+            ).alias("warc_ts"),
+            F.col("lang"), F.col("text"))
+        build_snapshot(spark, adapted, idx_dir,
+                       BuildConfig(docs_per_segment=max(250, n // 8)))
+        delete_docs(spark, idx_dir, [1, 2])
+        reader = IndexReader(spark, idx_dir)
+    res = reader.search(SearchRequest(query="data row", mode="or", k=15))
+    rows = [(int(d), float(s)) for d, s in zip(res.hits["doc_id"], res.hits["score"])]
+    return spark.createDataFrame(rows, "doc_id long, score double").select(
+        "doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_incremental_terms(spark, sf_dir):
     """Two-batch INCREMENTAL build (snapshot 0 then append snapshot 1),
     then term stats from the merged dictionary — exercises snapshot
@@ -955,6 +991,7 @@ def queries() -> dict[str, _T]:
         "browse_group_multilevel": _q_group_multilevel,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "incremental_snapshot_terms": _q_incremental_terms,
+        "bm25_browse_deletes": _q_browse_deletes,
         "browse_custom_facet_sort": _q_browse_custom_sort,
         "term_vectors_page": _q_term_vectors,
         "facet_path_multival": _q_facet_path_multival,
@@ -1648,6 +1685,24 @@ WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents),
 t AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
 SELECT term, df::BIGINT AS df
 FROM t ORDER BY df DESC, term LIMIT 20
+""",
+        "bm25_browse_deletes": """
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ('data', 'row') GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), st
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM sc WHERE doc_id NOT IN (1, 2)
+ORDER BY score DESC, doc_id
+LIMIT 15
 """,
         "incremental_snapshot_terms": f"""
 WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents),

@@ -984,3 +984,46 @@ def build_snapshot(
         cat.update_snapshot(snap)
         mark("published")
     return cat.get(sid)
+
+
+# ------------------------------------------------------------------- deletes
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> Snapshot:
+    """Soft-delete documents: publish a new snapshot whose cumulative
+    ``deletes`` table carries the tombstoned doc ids
+    (≙ IndexWriter.deleteDocuments + reader reopen in the reference's
+    testBrowseWithDeletes, BoboTestCase.java:2142-2195).
+
+    Lucene semantics on purpose: deleted docs stop matching queries
+    and facet counts immediately, but df/cf/avgdl statistics are
+    UNCHANGED until a future segment merge — exactly how Lucene scores
+    against an index with deletions. All index tables are shared with
+    the parent snapshot; the commit is one atomic manifest write, so
+    open readers keep their snapshot and a reopen sees the deletes
+    (commit/reopen cycle).
+
+    ``doc_ids``: iterable of ids or a single-column DataFrame.
+    """
+    cat = IndexCatalog(index_dir)
+    parent = cat.latest()
+    if parent is None:
+        raise ValueError(f"no published snapshot in {index_dir}")
+    snap = cat.begin_snapshot()
+    sid = snap.snapshot_id
+    if isinstance(doc_ids, DataFrame):
+        del_df = doc_ids.select(F.col(doc_ids.columns[0]).cast("long")
+                                .alias("doc_id")).distinct()
+    else:
+        del_df = spark.createDataFrame(
+            [(int(d),) for d in sorted(set(doc_ids))], "doc_id long")
+    path = cat.table_path("deletes", sid)
+    del_df.coalesce(1).write.mode("overwrite").parquet(path)
+    snap.stats = dict(parent.stats)
+    snap.tables = dict(parent.tables)
+    snap.tables["deletes"] = cat.table_paths(parent, "deletes") + [path]
+    snap.stats["n_deleted"] = int(
+        spark.read.parquet(*snap.tables["deletes"]).distinct().count())
+    cat.update_snapshot(snap)
+    cat.mark_stage(snap, "published")
+    return cat.get(sid)

@@ -338,10 +338,13 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
         # below — the docID decode is paid exactly once.
         doc_cache = {t["term_id"]: _decode_docs_blocks(groups[t["term_id"]])
                      for t in present if len(groups[t["term_id"]])}
-        n_hits_exact = (
-            int(np.unique(np.concatenate([d for d, _ in doc_cache.values()])).size)
-            if doc_cache else 0
-        )
+        if doc_cache:
+            uni = np.unique(np.concatenate([d for d, _ in doc_cache.values()]))
+            if plan.get("deleted"):
+                uni = uni[~np.isin(uni, np.asarray(plan["deleted"], dtype=np.int64))]
+            n_hits_exact = int(uni.size)
+        else:
+            n_hits_exact = 0
         groups, keep_masks = _blockmax_prune(groups, present, k, avgdl,
                                              doc_cache, plan.get("recency"))
 
@@ -376,6 +379,17 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
                 return _empty_out()
     else:
         cand = np.unique(np.concatenate([decoded[t["term_id"]][0] for t in present]))
+
+    # ---- soft deletes (≙ Lucene liveDocs): tombstoned docs leave the
+    # candidate set before scoring/facets/phrase verification
+    if plan.get("deleted") and cand.size:
+        cand = cand[~np.isin(cand, np.asarray(plan["deleted"], dtype=np.int64))]
+        if cand.size == 0 and n_hits_exact is None:
+            return _empty_out()
+        if cand.size == 0:
+            out = _empty_out()
+            out.loc[0] = (_K_STATS, -1, 0.0, "", -1, n_hits_exact)
+            return out
 
     # ---- phrase: positional verification narrows the candidate set
     ptf = None
@@ -533,6 +547,15 @@ class IndexReader:
                 *self.catalog.table_paths(self.snap, "dict_ts_bucket")
             ).toPandas(),
         }
+        # cumulative soft-delete tombstones (≙ Lucene liveDocs): hits,
+        # facet counts and num_hits exclude them; df/cf/avgdl stats
+        # intentionally do NOT change until a merge — Lucene semantics
+        del_paths = self.catalog.table_paths(self.snap, "deletes")
+        self.deleted = (
+            np.sort(self.spark.read.parquet(*del_paths)
+                    .toPandas()["doc_id"].to_numpy(np.int64))
+            if del_paths else np.zeros(0, dtype=np.int64)
+        )
 
     def facet_counts(self, field: str) -> pd.DataFrame:
         """collectAll shortcut: no-query/no-filter facet counts served
@@ -540,8 +563,19 @@ class IndexReader:
         (≙ FacetCountCollector.collectAll over dataCache.freqs,
         facets/impl/SimpleFacetHandler.java:222-225 +
         api/BoboSubBrowser.java:59-64)."""
-        d = self.dicts[field][["value", "df"]].rename(columns={"df": "count"})
-        d = d.astype({"count": "int64"})
+        if self.deleted.size:
+            # tombstones present: the dictionary df stats still count
+            # deleted docs — fall back to a real (filtered) count
+            col = self._ORD_COL[field]
+            cnt = (self._forward.where(~F.col("doc_id").isin(
+                       [int(x) for x in self.deleted]))
+                   .groupBy(col).count().toPandas()
+                   .rename(columns={col: "ordinal"}))
+            d = cnt.merge(self.dicts[field][["ordinal", "value"]], on="ordinal")
+            d = d[["value", "count"]].astype({"count": "int64"})
+        else:
+            d = self.dicts[field][["value", "df"]].rename(columns={"df": "count"})
+            d = d.astype({"count": "int64"})
         return d.sort_values(["count", "value"], ascending=[False, True],
                              ignore_index=True)
 
@@ -625,6 +659,7 @@ class IndexReader:
                 phrase_idf_sum += by_term[t]["idf"]
         return {
             "terms": plan_terms,
+            "deleted": self.deleted.tolist() if self.deleted.size else None,
             "mode": req.mode,
             "k": req.k,
             "offset": req.offset,
@@ -695,12 +730,16 @@ class IndexReader:
         def hitset(pred_fields):
             ps = [preds[f] for f in pred_fields]
             out = self._forward
+            if self.deleted.size:
+                out = out.where(~F.col("doc_id").isin(
+                    [int(d) for d in self.deleted]))
             for p in ps:
                 out = out.where(p)
             return out
 
         base = hitset(list(preds))
-        num_hits = base.count() if preds else self.n_docs
+        num_hits = (base.count() if preds or self.deleted.size
+                    else self.n_docs)
         page = (
             base.orderBy(F.asc("doc_id")).limit(req.offset + req.k)
             .select("doc_id").toPandas().iloc[req.offset:]
@@ -711,7 +750,7 @@ class IndexReader:
         for f in req.facets:
             others = [x for x in preds if x != f] if req.expand_selection \
                 else list(preds)
-            if not others:
+            if not others and not self.deleted.size:
                 facets[f] = self.facet_counts(f)  # collectAll: zero scan
                 continue
             cnt = (
@@ -839,6 +878,7 @@ class IndexReader:
         word_tid = dict.fromkeys(words, -1)
         word_tid.update(zip(found["term"], found["term_id"].astype(int)))
         return {"tree": tree, "word_tid": word_tid, "sections": tuple(sec_cfg),
+                "deleted": self.deleted.tolist() if self.deleted.size else None,
                 "k": k, "offset": offset, "boost": float(boost)}
 
     def _sections_table(self) -> DataFrame:
@@ -1002,6 +1042,9 @@ class IndexReader:
         if req.query is None:  # MatchAll: forward scan, constant score
             sel_lang, sel_ts = self._resolve_selections(req)
             hits = self._forward
+            if self.deleted.size:
+                hits = hits.where(~F.col("doc_id").isin(
+                    [int(d) for d in self.deleted]))
             if sel_lang is not None:
                 hits = hits.where(F.col("lang_ord").isin([int(x) for x in sel_lang]))
             if sel_ts is not None:

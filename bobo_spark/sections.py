@@ -219,6 +219,9 @@ def segment_section_search(pdf: pd.DataFrame, plan: dict,
               for tid, g in pdf.groupby("term_id")}
     ev = _SegmentEval(groups, plan, sec_pdf)
     keys = ev.eval(plan["tree"])
+    if keys.size and plan.get("deleted"):
+        dels = np.asarray(plan["deleted"], dtype=np.int64)
+        keys = keys[~np.isin((keys >> _SEC_SHIFT).astype(np.int64), dels)]
     if keys.size == 0:
         return _empty_out()
     docs = (keys >> _SEC_SHIFT).astype(np.int64)
