@@ -980,6 +980,11 @@ def build_snapshot(
         if cfg.sections and cfg.sections[0] == "regex":
             prev = cat.table_paths(parent, "sections") if parent else []
             cumulative["sections"] = prev + [sections_path]
+        # deletes are cumulative across snapshots (Lucene: an append
+        # never resurrects tombstoned docs — only a merge purges them)
+        if parent and "deletes" in parent.tables:
+            cumulative["deletes"] = cat.table_paths(parent, "deletes")
+            snap.stats["n_deleted"] = parent.stats.get("n_deleted", 0)
         snap.tables = cumulative
         cat.update_snapshot(snap)
         mark("published")
@@ -1004,6 +1009,13 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> Snapshot:
     (commit/reopen cycle).
 
     ``doc_ids``: iterable of ids or a single-column DataFrame.
+
+    Tombstones are stored PER SEGMENT as ``(segment, doc_id)`` —
+    the analogue of Lucene's per-segment liveDocs bitsets
+    (api/BoboSegmentReader.java): each query task only ever consults
+    its own segment's delete set, so query cost never scales with the
+    GLOBAL tombstone count. Ids absent from the index are dropped
+    (deleting a nonexistent doc is a no-op, as in IndexWriter).
     """
     cat = IndexCatalog(index_dir)
     parent = cat.latest()
@@ -1017,13 +1029,21 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> Snapshot:
     else:
         del_df = spark.createDataFrame(
             [(int(d),) for d in sorted(set(doc_ids))], "doc_id long")
+    # segment lookup: broadcast the (small) delete set against the
+    # forward table — one pushed-down semi-join scan, no forward shuffle
+    fwd = spark.read.parquet(*cat.table_paths(parent, "forward"))
+    del_df = (fwd.select("segment", "doc_id")
+              .join(F.broadcast(del_df), "doc_id")
+              .select("segment", "doc_id"))
     path = cat.table_path("deletes", sid)
-    del_df.coalesce(1).write.mode("overwrite").parquet(path)
+    (del_df.repartition("segment").sortWithinPartitions("segment", "doc_id")
+     .write.mode("overwrite").parquet(path))
     snap.stats = dict(parent.stats)
     snap.tables = dict(parent.tables)
     snap.tables["deletes"] = cat.table_paths(parent, "deletes") + [path]
     snap.stats["n_deleted"] = int(
-        spark.read.parquet(*snap.tables["deletes"]).distinct().count())
+        spark.read.parquet(*snap.tables["deletes"])
+        .select("doc_id").distinct().count())
     cat.update_snapshot(snap)
     cat.mark_stage(snap, "published")
     return cat.get(sid)

@@ -195,6 +195,24 @@ def _phrase_filter(groups: dict, decoded: dict, phrase_ids: list[int],
     return match_docs, ptf.astype(np.int64)
 
 
+def _sorted_member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``vals`` in a SORTED int64 array — one
+    searchsorted, no hash set (np.isin) materialization."""
+    pos = np.searchsorted(sorted_arr, vals)
+    return (pos < sorted_arr.size) & \
+        (sorted_arr[np.minimum(pos, sorted_arr.size - 1)] == vals)
+
+
+def _segment_deleted(deleted_bc, pdf: pd.DataFrame) -> np.ndarray | None:
+    """This segment's tombstone set (sorted doc_ids) from the reader's
+    per-segment delete broadcast — the liveDocs analogue. Each task
+    touches ONLY its own segment's entry; the broadcast ships once per
+    executor, never per query plan."""
+    if deleted_bc is None or not len(pdf):
+        return None
+    return deleted_bc.value.get(int(pdf["segment"].iloc[0]))
+
+
 def _and_masks(*masks):
     out = None
     for m in masks:
@@ -241,7 +259,8 @@ def _recency_factor(ts: np.ndarray, rec: dict) -> np.ndarray:
 
 
 def _blockmax_prune(groups: dict, present: list, k: int, avgdl: float,
-                    doc_cache: dict | None = None, recency: dict | None = None):
+                    doc_cache: dict | None = None, recency: dict | None = None,
+                    deleted: np.ndarray | None = None):
     """Block-max two-phase pruning for disjunctive top-k.
 
     θ = k-th largest exact single-term contribution of the
@@ -269,6 +288,12 @@ def _blockmax_prune(groups: dict, present: list, k: int, avgdl: float,
     if recency:
         c = c * _recency_factor(ts, recency)
         mx = recency["max_factor"] + 1.0
+    # tombstoned docs must not contribute to θ: a deleted doc among the
+    # k best t* contributions would inflate the bound and wrongly prune
+    # blocks holding live top-k docs (they are removed from the
+    # candidate set only AFTER pruning)
+    if deleted is not None and c.size:
+        c = c[~_sorted_member(deleted, docs)]
     keeps: dict = {}
     if c.size < k:
         return groups, keeps
@@ -286,8 +311,10 @@ def _blockmax_prune(groups: dict, present: list, k: int, avgdl: float,
     return out, keeps
 
 
-def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
+def _segment_search(pdf: pd.DataFrame, plan: dict,
+                    deleted_bc=None) -> pd.DataFrame:
     """Score one segment's query-term blocks (pure pandas/numpy)."""
+    deleted = _segment_deleted(deleted_bc, pdf)
     terms = plan["terms"]
     mode = plan["mode"]
     k = plan["k"] + plan["offset"]
@@ -340,13 +367,14 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
                      for t in present if len(groups[t["term_id"]])}
         if doc_cache:
             uni = np.unique(np.concatenate([d for d, _ in doc_cache.values()]))
-            if plan.get("deleted"):
-                uni = uni[~np.isin(uni, np.asarray(plan["deleted"], dtype=np.int64))]
+            if deleted is not None:
+                uni = uni[~_sorted_member(deleted, uni)]
             n_hits_exact = int(uni.size)
         else:
             n_hits_exact = 0
         groups, keep_masks = _blockmax_prune(groups, present, k, avgdl,
-                                             doc_cache, plan.get("recency"))
+                                             doc_cache, plan.get("recency"),
+                                             deleted)
 
     decoded = {}
     for t in present:
@@ -382,8 +410,8 @@ def _segment_search(pdf: pd.DataFrame, plan: dict) -> pd.DataFrame:
 
     # ---- soft deletes (≙ Lucene liveDocs): tombstoned docs leave the
     # candidate set before scoring/facets/phrase verification
-    if plan.get("deleted") and cand.size:
-        cand = cand[~np.isin(cand, np.asarray(plan["deleted"], dtype=np.int64))]
+    if deleted is not None and cand.size:
+        cand = cand[~_sorted_member(deleted, cand)]
         if cand.size == 0 and n_hits_exact is None:
             return _empty_out()
         if cand.size == 0:
@@ -549,13 +577,40 @@ class IndexReader:
         }
         # cumulative soft-delete tombstones (≙ Lucene liveDocs): hits,
         # facet counts and num_hits exclude them; df/cf/avgdl stats
-        # intentionally do NOT change until a merge — Lucene semantics
+        # intentionally do NOT change until a merge — Lucene semantics.
+        # Loaded ONCE per reader open into (a) a Spark DataFrame for
+        # anti-joins on the DataFrame paths and (b) one per-segment
+        # broadcast dict for the applyInPandas paths — query plans
+        # carry only the broadcast HANDLE, never the id list, so plan
+        # size is O(1) in the tombstone count (the r3 scale-killer).
         del_paths = self.catalog.table_paths(self.snap, "deletes")
-        self.deleted = (
-            np.sort(self.spark.read.parquet(*del_paths)
-                    .toPandas()["doc_id"].to_numpy(np.int64))
-            if del_paths else np.zeros(0, dtype=np.int64)
-        )
+        self._deletes_df = None
+        self._deleted_bc = None
+        self.deleted = np.zeros(0, dtype=np.int64)
+        if del_paths:
+            self._deletes_df = self.spark.read.parquet(*del_paths).distinct()
+            dpd = self._deletes_df.toPandas()
+            if "segment" not in dpd.columns:  # legacy (doc_id-only) table
+                dpd = (self._forward.select("segment", "doc_id")
+                       .join(F.broadcast(self._deletes_df.select("doc_id")),
+                             "doc_id").toPandas())
+            self.deleted = np.sort(dpd["doc_id"].to_numpy(np.int64))
+            seg_map = {
+                int(s): np.sort(g["doc_id"].to_numpy(np.int64))
+                for s, g in dpd.groupby("segment")
+            }
+            self._deleted_bc = self.spark.sparkContext.broadcast(seg_map)
+
+    def _not_deleted(self, df: DataFrame) -> DataFrame:
+        """Anti-join tombstones out of a doc_id-keyed DataFrame — a
+        relational join Catalyst can plan (broadcast-hash for ordinary
+        delete volumes), never an ``isin`` literal list."""
+        if self._deletes_df is None:
+            return df
+        d = self._deletes_df.select("doc_id")
+        if self.snap.stats.get("n_deleted", 0) <= 5_000_000:
+            d = F.broadcast(d)
+        return df.join(d, "doc_id", "left_anti")
 
     def facet_counts(self, field: str) -> pd.DataFrame:
         """collectAll shortcut: no-query/no-filter facet counts served
@@ -563,16 +618,20 @@ class IndexReader:
         (≙ FacetCountCollector.collectAll over dataCache.freqs,
         facets/impl/SimpleFacetHandler.java:222-225 +
         api/BoboSubBrowser.java:59-64)."""
-        if self.deleted.size:
+        if self._deletes_df is not None:
             # tombstones present: the dictionary df stats still count
-            # deleted docs — fall back to a real (filtered) count
+            # deleted docs — fall back to a real (anti-joined) count.
+            # LEFT-merge from the dictionary so values whose every doc
+            # is deleted still appear (count 0), matching the
+            # no-deletes path's value universe.
             col = self._ORD_COL[field]
-            cnt = (self._forward.where(~F.col("doc_id").isin(
-                       [int(x) for x in self.deleted]))
+            cnt = (self._not_deleted(self._forward)
                    .groupBy(col).count().toPandas()
                    .rename(columns={col: "ordinal"}))
-            d = cnt.merge(self.dicts[field][["ordinal", "value"]], on="ordinal")
-            d = d[["value", "count"]].astype({"count": "int64"})
+            d = self.dicts[field][["ordinal", "value"]].merge(
+                cnt, on="ordinal", how="left")
+            d["count"] = d["count"].fillna(0).astype("int64")
+            d = d[["value", "count"]]
         else:
             d = self.dicts[field][["value", "df"]].rename(columns={"df": "count"})
             d = d.astype({"count": "int64"})
@@ -659,7 +718,6 @@ class IndexReader:
                 phrase_idf_sum += by_term[t]["idf"]
         return {
             "terms": plan_terms,
-            "deleted": self.deleted.tolist() if self.deleted.size else None,
             "mode": req.mode,
             "k": req.k,
             "offset": req.offset,
@@ -702,8 +760,9 @@ class IndexReader:
             self._require_positions()
         src = self._postings_full if plan["mode"] == "phrase" else self._postings
         blocks = src.where(F.col("term_id").isin(tids))
+        deleted_bc = self._deleted_bc
         return blocks.groupBy("segment").applyInPandas(
-            lambda pdf: _segment_search(pdf, plan), schema=OUT_SCHEMA
+            lambda pdf: _segment_search(pdf, plan, deleted_bc), schema=OUT_SCHEMA
         )
 
     # ----------------------------------------------- MatchAll / selection-only
@@ -729,16 +788,13 @@ class IndexReader:
 
         def hitset(pred_fields):
             ps = [preds[f] for f in pred_fields]
-            out = self._forward
-            if self.deleted.size:
-                out = out.where(~F.col("doc_id").isin(
-                    [int(d) for d in self.deleted]))
+            out = self._not_deleted(self._forward)
             for p in ps:
                 out = out.where(p)
             return out
 
         base = hitset(list(preds))
-        num_hits = (base.count() if preds or self.deleted.size
+        num_hits = (base.count() if preds or self._deletes_df is not None
                     else self.n_docs)
         page = (
             base.orderBy(F.asc("doc_id")).limit(req.offset + req.k)
@@ -750,7 +806,7 @@ class IndexReader:
         for f in req.facets:
             others = [x for x in preds if x != f] if req.expand_selection \
                 else list(preds)
-            if not others and not self.deleted.size:
+            if not others and self._deletes_df is None:
                 facets[f] = self.facet_counts(f)  # collectAll: zero scan
                 continue
             cnt = (
@@ -878,7 +934,6 @@ class IndexReader:
         word_tid = dict.fromkeys(words, -1)
         word_tid.update(zip(found["term"], found["term_id"].astype(int)))
         return {"tree": tree, "word_tid": word_tid, "sections": tuple(sec_cfg),
-                "deleted": self.deleted.tolist() if self.deleted.size else None,
                 "k": k, "offset": offset, "boost": float(boost)}
 
     def _sections_table(self) -> DataFrame:
@@ -894,16 +949,19 @@ class IndexReader:
         if not tids:
             return self.spark.createDataFrame([], OUT_SCHEMA)
         blocks = self._postings_full.where(F.col("term_id").isin(tids))
+        deleted_bc = self._deleted_bc
         if plan["sections"][0] == "regex":
             # per-doc boundary arrays ride along via cogroup on segment
             return blocks.groupBy("segment").cogroup(
                 self._sections_table().groupBy("segment")
             ).applyInPandas(
-                lambda left, right: segment_section_search(left, plan, right),
+                lambda left, right: segment_section_search(
+                    left, plan, right, deleted_bc),
                 schema=OUT_SCHEMA,
             )
         return blocks.groupBy("segment").applyInPandas(
-            lambda pdf: segment_section_search(pdf, plan, None), schema=OUT_SCHEMA
+            lambda pdf: segment_section_search(pdf, plan, None, deleted_bc),
+            schema=OUT_SCHEMA
         )
 
     def section_search(self, tree, k: int = 10, offset: int = 0,
@@ -979,6 +1037,7 @@ class IndexReader:
         out_schema = OUT_SCHEMA + ", qid int"
         if all_tids and runnable:
             runnable_plans = [(i, plans[i]) for i in runnable]
+            deleted_bc = self._deleted_bc
 
             def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
                 outs = []
@@ -987,7 +1046,7 @@ class IndexReader:
                     tids += plan.get("sel_lang_tids", []) + plan.get("sel_ts_tids", [])
                     sub = pdf[pdf["term_id"].isin(tids)]
                     if len(sub):
-                        o = _segment_search(sub, plan)
+                        o = _segment_search(sub, plan, deleted_bc)
                         if len(o):
                             o = o.copy()
                             o["qid"] = np.int32(qid)
@@ -1039,12 +1098,11 @@ class IndexReader:
 
     def search_df(self, req: SearchRequest, with_url: bool = False) -> DataFrame:
         """Spark-DataFrame result (doc_id, score[, url]) for pipelines."""
+        from pyspark.sql.window import Window
+
         if req.query is None:  # MatchAll: forward scan, constant score
             sel_lang, sel_ts = self._resolve_selections(req)
-            hits = self._forward
-            if self.deleted.size:
-                hits = hits.where(~F.col("doc_id").isin(
-                    [int(d) for d in self.deleted]))
+            hits = self._not_deleted(self._forward)
             if sel_lang is not None:
                 hits = hits.where(F.col("lang_ord").isin([int(x) for x in sel_lang]))
             if sel_ts is not None:
@@ -1053,6 +1111,7 @@ class IndexReader:
                 hits.orderBy(F.asc("doc_id")).limit(req.offset + req.k)
                 .select("doc_id", F.lit(1.0).alias("score"))
             )
+            page_order = Window.orderBy(F.asc("doc_id"))
         else:
             plan = self.plan(req)
             out = self._segment_outputs(plan)
@@ -1062,6 +1121,13 @@ class IndexReader:
                 .limit(req.offset + req.k)
                 .select("doc_id", "score")
             )
+            page_order = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        if req.offset:
+            # rank window ABOVE the limit (≤ offset+k rows reach it), as
+            # in section_search_df — returns rows offset+1..offset+k,
+            # matching search()'s page contract
+            hits = (hits.withColumn("_rank", F.row_number().over(page_order))
+                    .where(F.col("_rank") > req.offset).drop("_rank"))
         if with_url:
             # hits is ≤ offset+k rows — broadcast it so the stored-field
             # fetch never shuffles the forward table (SURVEY §2.1).

@@ -205,7 +205,8 @@ class _SegmentEval:
 
 
 def segment_section_search(pdf: pd.DataFrame, plan: dict,
-                           sec_pdf: pd.DataFrame | None) -> pd.DataFrame:
+                           sec_pdf: pd.DataFrame | None,
+                           deleted_bc=None) -> pd.DataFrame:
     """Evaluate a section tree over one segment's posting blocks.
 
     Emits one hit row per matching doc: score = the query boost
@@ -213,15 +214,15 @@ def segment_section_search(pdf: pd.DataFrame, plan: dict,
     count = number of matching sections in the doc (a free diagnostic
     the key-set representation gives us), plus a stats row.
     """
-    from .query import _K_HIT, _K_STATS, _empty_out
+    from .query import _K_HIT, _K_STATS, _empty_out, _segment_deleted, _sorted_member
 
     groups = {tid: g.sort_values("first_doc")
               for tid, g in pdf.groupby("term_id")}
     ev = _SegmentEval(groups, plan, sec_pdf)
     keys = ev.eval(plan["tree"])
-    if keys.size and plan.get("deleted"):
-        dels = np.asarray(plan["deleted"], dtype=np.int64)
-        keys = keys[~np.isin((keys >> _SEC_SHIFT).astype(np.int64), dels)]
+    deleted = _segment_deleted(deleted_bc, pdf)
+    if keys.size and deleted is not None:
+        keys = keys[~_sorted_member(deleted, (keys >> _SEC_SHIFT).astype(np.int64))]
     if keys.size == 0:
         return _empty_out()
     docs = (keys >> _SEC_SHIFT).astype(np.int64)

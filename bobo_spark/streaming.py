@@ -11,8 +11,11 @@ exactly the commit/reopen cycle, with exactly-once via the batch-id
 ledger kept on the manifest.
 
 The micro-batch must carry monotonically increasing ``doc_id``s (new
-docs only — the reference appends too; updates/deletes are a
-tombstone table, future work).
+docs only — the reference appends too). Deletes are served by the
+separate soft-delete path (``build.delete_docs`` publishes cumulative
+per-segment tombstone snapshots; see tests/test_deletes.py) and
+compose with streaming appends: the publish step carries the parent's
+deletes table forward, so an appended batch never resurrects them.
 """
 
 from __future__ import annotations

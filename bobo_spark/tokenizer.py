@@ -75,8 +75,10 @@ def term_freq_frame(doc_ids: np.ndarray, texts: pd.Series,
     # positions beyond 2^24-1 would carry into the doc_id bits of the
     # query engine's (doc<<24|pos) occurrence keys (query._POS_SHIFT)
     # and silently corrupt phrase matching — fail the build instead,
-    # mirroring pack_meta's tf/lang/ts overflow checks.
-    if int(doclens.max()) > (1 << 24):
+    # mirroring pack_meta's tf/lang/ts overflow checks. 64 tokens of
+    # headroom keep phrase/section probe keys (pos + phrase_len) from
+    # ever carrying into the doc bits either.
+    if int(doclens.max()) >= (1 << 24) - 64:
         raise ValueError(
             f"document with {int(doclens.max())} tokens exceeds the "
             "2^24 position limit of the positional postings codec")

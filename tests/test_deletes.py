@@ -87,3 +87,65 @@ def test_delete_is_snapshot_scoped(env):
         IndexReader(spark, d, snapshot_id=before.snap.snapshot_id)
         .search(SearchRequest(query="ba", mode="or", k=10**6)).hits["doc_id"])
     assert after.snap.stats["n_deleted"] == len(victims)
+
+
+def test_pruned_or_exact_with_deletes(spark, tmp_path_factory):
+    """Block-max pruning with tombstones: θ must come from LIVE
+    contributions only. Victims = the top hits of the pruned query
+    itself, so a θ computed over deleted docs would be inflated and
+    would wrongly prune blocks holding live top-k docs."""
+    d = str(tmp_path_factory.mktemp("idx_del_prune"))
+    docs = webpages(spark, 800, 4)
+    build_snapshot(spark, docs, d, BuildConfig(docs_per_segment=200,
+                                               block_size=32))
+    r0 = IndexReader(spark, d)
+    req_all = SearchRequest(query="ba be", mode="or", k=10**6, prune=False)
+    pre = r0.search(req_all)
+    victims = [int(x) for x in pre.hits["doc_id"][:5]]
+    delete_docs(spark, d, victims)
+    r1 = IndexReader(spark, d)
+    a = r1.search(SearchRequest(query="ba be", mode="or", k=10, prune=True))
+    b = r1.search(SearchRequest(query="ba be", mode="or", k=10, prune=False))
+    assert a.hits["doc_id"].tolist() == b.hits["doc_id"].tolist()
+    assert a.hits["score"].tolist() == b.hits["score"].tolist()
+    assert a.num_hits == b.num_hits == pre.num_hits - len(victims)
+    # exact oracle: pre-delete ranking minus victims (scores unchanged
+    # until merge — Lucene stats semantics)
+    exp = pre.hits[~pre.hits["doc_id"].isin(victims)].head(10)
+    assert a.hits["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert a.hits["score"].tolist() == exp["score"].tolist()
+
+
+def test_append_after_delete_keeps_tombstones(spark, tmp_path_factory):
+    """An incremental append must carry the parent's deletes table
+    forward (Lucene: only a merge purges tombstones) — and a value
+    whose every doc is tombstoned still shows in collectAll counts
+    with count 0 (same value universe as the no-deletes path)."""
+    d = str(tmp_path_factory.mktemp("idx_del_append"))
+    all_docs = webpages(spark, 700, 4)
+    docs_a = all_docs.where(F.col("doc_id") < 500)
+    docs_b = all_docs.where(F.col("doc_id") >= 500)
+    build_snapshot(spark, docs_a, d, BuildConfig(docs_per_segment=125))
+    # tombstone EVERY doc of the rarest lang value in the first batch
+    rare = (docs_a.groupBy("lang").count().orderBy("count", "lang")
+            .first()["lang"])
+    victims = [r["doc_id"] for r in
+               docs_a.where(F.col("lang") == rare).collect()]
+    delete_docs(spark, d, victims)
+    r1 = IndexReader(spark, d)
+    fc = dict(zip(r1.facet_counts("lang")["value"],
+                  r1.facet_counts("lang")["count"]))
+    assert fc[rare] == 0  # zero-count value still listed
+    # append a second batch on top of the tombstoned snapshot
+    build_snapshot(spark, docs_b, d, BuildConfig(docs_per_segment=125))
+    r2 = IndexReader(spark, d)
+    assert r2.snap.stats.get("n_deleted", 0) == len(victims)
+    res = r2.search(SearchRequest(query="ba", mode="or", k=10**6))
+    assert not set(victims) & set(res.hits["doc_id"])
+    ma = r2.search(SearchRequest(query=None, k=10**6))
+    assert ma.num_hits == 700 - len(victims)
+    # the appended batch's docs of the rare lang are NOT deleted
+    n_rare_b = docs_b.where(F.col("lang") == rare).count()
+    fc2 = dict(zip(r2.facet_counts("lang")["value"],
+                   r2.facet_counts("lang")["count"]))
+    assert fc2[rare] == n_rare_b
