@@ -866,7 +866,9 @@ def _q_browse_deletes(spark, sf_dir):
     from bobo_spark.build import delete_docs
 
     key = sf_dir.rstrip("/")
-    idx_dir = f"/tmp/bobo_spark_del_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+    # del4: per-segment tombstone format (r4) — fresh cache dir so the
+    # driver run exercises the new (segment, doc_id) layout
+    idx_dir = f"/tmp/bobo_spark_del4_{hashlib.md5(key.encode()).hexdigest()[:10]}"
     docs = _load(spark, sf_dir, "documents")
     n = docs.count()
     reader = None
@@ -934,72 +936,90 @@ def _q_incremental_terms(spark, sf_dir):
 
 
 def queries() -> dict[str, _T]:
+    """All 65 oracled queries. ORDER IS CURATED: the driver verifies
+    only the FIRST 50 entries (its CORRECTNESS row cap), so the window
+    holds (a) every entry whose code changed this round or that never
+    had a driver row, and (b) one row per SURVEY §2 operator family.
+    The 15 entries past the window are zero-churn oracle twins /
+    JVM-expression operators, every one of them driver-green in r03
+    (see WINDOW.md for the per-entry verification ledger). Do NOT
+    append new entries without re-curating the first 50."""
     return {
+        # --- BM25 engine (incl. r4-changed delete/pruning/recency paths)
         "bm25_topk_and": _q_bm25_and,
         "bm25_topk_or": _q_bm25_or,
         "bm25_topk_lang_sel": _q_bm25_lang,
         "bm25_facet_lang": _q_bm25_facet_lang,
+        "bm25_phrase": _q_bm25_phrase,
+        "bm25_matchall_sel": _q_bm25_matchall_sel,
+        "bm25_topk_rare_sel": _q_bm25_rare_sel,
+        "bm25_recency_boost": _q_bm25_recency,
+        "bm25_browse_deletes": _q_browse_deletes,
+        # --- sections / term vectors (new in r3, first driver rows here)
+        "section_search_bool": _q_section_bool,
+        "section_search_phrase": _q_section_phrase,
+        "term_vectors_page": _q_term_vectors,
+        # --- ingestion (snapshot append + streaming)
+        "incremental_snapshot_terms": _q_incremental_terms,
+        "streaming_snapshot_terms": _q_streaming_ingest,
+        # --- browse engine
         "browse_facet_source": _q_browse_facet_source,
         "browse_multiselect_expand": _q_browse_multiselect,
         "browse_not_values": _q_browse_not,
         "browse_combo_selection": _q_browse_combo,
-        "facet_range_nchars": _q_facet_range_nchars,
-        "facet_histogram_nchars": _q_facet_histogram,
-        "facet_path_region": _q_facet_path_region,
-        "facet_groupby_flag_status": _q_facet_groupby,
-        "facet_buckets_priority": _q_facet_buckets,
         "browse_sort_page": _q_sort_page,
+        "browse_group_multilevel": _q_group_multilevel,
         "group_dedupe_top_order": _q_group_dedupe,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "minhash_signatures": _q_minhash_sigs,
-        "simhash64": _q_simhash,
-        "fingerprint_minshingle": _q_fingerprint,
-        "token_counts": _q_token_counts,
-        "quality_scores": _q_quality,
-        "langid": _q_langid,
-        "simsearch_topk_cosine": _q_simsearch,
-        "simsearch_neardup_pairs": _q_sim_neardup,
-        "simsearch_neardup_lsh": _q_sim_neardup_lsh,
-        "simsearch_lsh_topk": _q_simsearch_lsh,
-        "simsearch_lsh_topk_indexed": _q_simsearch_lsh_indexed,
-        "simsearch_ivf_topk": _q_simsearch_ivf,
-        "multimodal_features": _q_multimodal,
-        "multimodal_frame_sample": _q_multimodal_frames,
-        "multimodal_resize": _q_multimodal_resize,
-        "sessionize_events": _q_sessionize,
-        "facet_filtered_range": _q_filtered_range,
-        "facet_multirange_toklen": _q_multirange,
-        "map_reduce_hook": _q_map_reduce,
-        "facet_geo_box": _q_facet_geo_box,
-        "facet_geo_distance": _q_facet_geo_distance,
-        "facet_attributes": _q_facet_attributes,
-        "facet_dynamic_timerange": _q_facet_dyntime,
+        "browse_num_groups": _q_browse_num_groups,
+        "browse_collectall_lang": _q_browse_collectall,
+        "browse_custom_facet_sort": _q_browse_custom_sort,
+        "browse_recency_scorer": _q_browse_recency,
         "browse_multivalue_facet": _q_browse_multivalue,
         "browse_compact_multival_sort": _q_browse_compact_sort,
         "browse_weighted_multival": _q_browse_weighted_multival,
         "browse_virtual_facet": _q_browse_virtual,
-        "browse_facet_term_query": _q_browse_facet_term_q,
         "browse_boolean_facet_query": _q_browse_boolean_facet_q,
         "browse_facet_boost_query": _q_browse_facet_boost_q,
-        "bm25_phrase": _q_bm25_phrase,
-        "bm25_matchall_sel": _q_bm25_matchall_sel,
-        "section_search_bool": _q_section_bool,
-        "section_search_phrase": _q_section_phrase,
-        "bm25_topk_rare_sel": _q_bm25_rare_sel,
-        "browse_group_multilevel": _q_group_multilevel,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        "incremental_snapshot_terms": _q_incremental_terms,
-        "bm25_browse_deletes": _q_browse_deletes,
-        "browse_custom_facet_sort": _q_browse_custom_sort,
-        "term_vectors_page": _q_term_vectors,
+        # --- facet handlers
+        "facet_range_nchars": _q_facet_range_nchars,
+        "facet_path_region": _q_facet_path_region,
         "facet_path_multival": _q_facet_path_multival,
-        "streaming_snapshot_terms": _q_streaming_ingest,
-        "bm25_recency_boost": _q_bm25_recency,
-        "browse_recency_scorer": _q_browse_recency,
-        "browse_num_groups": _q_browse_num_groups,
-        "browse_collectall_lang": _q_browse_collectall,
+        "facet_groupby_flag_status": _q_facet_groupby,
+        "facet_buckets_priority": _q_facet_buckets,
+        "facet_filtered_range": _q_filtered_range,
+        "facet_multirange_toklen": _q_multirange,
+        "facet_geo_distance": _q_facet_geo_distance,
+        "facet_attributes": _q_facet_attributes,
+        "facet_dynamic_timerange": _q_facet_dyntime,
+        # --- LLM-pipeline scale paths
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "token_counts": _q_token_counts,
+        "simsearch_topk_cosine": _q_simsearch,
+        "simsearch_neardup_lsh": _q_sim_neardup_lsh,
+        "simsearch_lsh_topk_indexed": _q_simsearch_lsh_indexed,
+        "simsearch_ivf_topk": _q_simsearch_ivf,
+        "multimodal_features": _q_multimodal,
+        # ================= driver window ends here (entry 50) =========
+        # Zero-churn entries below were all driver-green in r03 and are
+        # semantically covered by a kept sibling (oracle twins) or are
+        # plan-asserted pure-JVM expressions. Ledger: WINDOW.md.
+        "map_reduce_hook": _q_map_reduce,
+        "sessionize_events": _q_sessionize,
+        "facet_histogram_nchars": _q_facet_histogram,
+        "facet_geo_box": _q_facet_geo_box,
+        "browse_facet_term_query": _q_browse_facet_term_q,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "minhash_signatures": _q_minhash_sigs,
+        "fingerprint_minshingle": _q_fingerprint,
+        "simhash64": _q_simhash,
+        "quality_scores": _q_quality,
+        "langid": _q_langid,
+        "simsearch_neardup_pairs": _q_sim_neardup,
+        "simsearch_lsh_topk": _q_simsearch_lsh,
+        "multimodal_frame_sample": _q_multimodal_frames,
+        "multimodal_resize": _q_multimodal_resize,
     }
 
 

@@ -48,9 +48,17 @@ def test_pruned_recency_equals_exhaustive(reader):
     qs = reference_queryset(vocab, n_conj=0, n_disj=8, n_lang=0, n_ts=0)
     qs.append({"query": ["ba", "be", "bi"], "mode": "or"})
     nonempty = 0
-    for cutoff_days in (30, 90):
-        rec = {"now_ms": now_ms, "cutoff_ms": cutoff_days * 86400000,
-               "max_factor": 2.0}
+    # sweep: cutoff bites some docs (30/90d), no docs (now far past the
+    # corpus — every x > cutoff, factor 1 everywhere), and max_factor=0
+    # (decay parabola collapses to a constant 1 boost)
+    configs = [
+        {"now_ms": now_ms, "cutoff_ms": 30 * 86400000, "max_factor": 2.0},
+        {"now_ms": now_ms, "cutoff_ms": 90 * 86400000, "max_factor": 2.0},
+        {"now_ms": now_ms + 400 * 86400000, "cutoff_ms": 30 * 86400000,
+         "max_factor": 2.0},
+        {"now_ms": now_ms, "cutoff_ms": 60 * 86400000, "max_factor": 0.0},
+    ]
+    for rec in configs:
         for q in qs:
             a = reader.search(SearchRequest(query=q["query"], mode="or",
                                             k=10, prune=True, recency=rec))

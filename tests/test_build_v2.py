@@ -133,3 +133,43 @@ def test_v2_empty_text_docs(spark, tmp_path_factory):
     assert res.num_hits == 20
     res2 = r.search(SearchRequest(query="alpha", mode="and", k=25))
     assert res2.num_hits == 20 - len(range(0, 20, 3))
+
+
+def test_regex_sections_identical_both_pipelines(spark, tmp_path_factory):
+    """Regex section geometry (the cogrouped boundary table) must come
+    out identical from the classic pairs pipeline and segment_local —
+    both share _encode_partition, but the sections table is written by
+    a separate stage whose inputs differ per pipeline."""
+    import numpy as np
+
+    base = tmp_path_factory.mktemp("v2rx")
+    rows = []
+    words = ["ba", "be", "ka", "vu", "ma", "ne"]
+    rng = np.random.RandomState(11)
+    for i in range(240):
+        parts = [" ".join(rng.choice(words, size=rng.randint(0, 8)))
+                 for _ in range(rng.randint(1, 5))]
+        rows.append((i, f"u{i}", "2024-01-0%d" % (i % 9 + 1), "en",
+                     "\n\n".join(parts)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "url", "warc_ts", "lang",
+                                      "text"])
+    docs = spark.createDataFrame(pdf).withColumn(
+        "warc_ts", F.to_timestamp("warc_ts"))
+    readers = []
+    for sub, pipe in (("a", "pairs"), ("b", "segment_local")):
+        d = str(base / sub)
+        build_snapshot(spark, docs, d, BuildConfig(
+            docs_per_segment=80, block_size=16, pipeline=pipe,
+            sections=("regex", r"\n\n+")))
+        readers.append(IndexReader(spark, d))
+    a, b = readers
+    for tree in (
+        ("and", ("term", "ba"), ("term", "be")),
+        ("and", ("term", "ba"), ("not", ("term", "ka"))),
+        ("phrase", "ba be"),
+        ("or", ("phrase", "ka vu"), ("and", ("term", "ma"),
+                                     ("term", "ne"))),
+    ):
+        ra, rb = a.section_search(tree, k=50), b.section_search(tree, k=50)
+        assert ra.num_hits == rb.num_hits, tree
+        pd.testing.assert_frame_equal(ra.hits, rb.hits)
