@@ -46,7 +46,7 @@ from .codecs import vb_decode
 from .tokenizer import tokenize
 
 OUT_SCHEMA = "kind int, doc_id long, score double, field string, ordinal long, count long"
-_K_HIT, _K_FACET, _K_STATS = 1, 2, 3
+_K_HIT, _K_FACET, _K_STATS, _K_EXPL = 1, 2, 3, 4
 FACET_FIELDS = {"lang": "lang", "ts_bucket": "ts_bucket"}
 
 
@@ -74,6 +74,12 @@ class SearchRequest:
     # A = -max_factor/cutoff². Doc time = the doc's ts_bucket start (the
     # engine's long time facet). float64 (reference uses float32).
     recency: dict | None = None
+    # per-hit score breakdown (≙ BrowseHit.getExplanation,
+    # api/BrowseHit.java:271-282): SearchResult.explanations gets one
+    # row per (page doc, query term) with its exact BM25 contribution,
+    # plus a 'recency_boost' row when a recency boost applies —
+    # sum(contributions) × boost == score, bit-exact
+    explain: bool = False
 
 
 @dataclass
@@ -81,6 +87,9 @@ class SearchResult:
     hits: pd.DataFrame  # doc_id, score (page: offset..offset+k)
     num_hits: int
     facets: dict  # field -> pd.DataFrame(value, count) count-desc, value-asc
+    # explain=True only: (doc_id, part, value); part = term or
+    # 'recency_boost'
+    explanations: pd.DataFrame | None = None
 
 
 def _plan_terms(terms_pd: pd.DataFrame, qtokens: list[str], n_docs: int) -> list[dict]:
@@ -478,6 +487,7 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
             scores[pos[ok]] += c
 
     # ---- recency boost: quadratic decay factor on the doc's time bucket
+    raw_scores = scores
     rec = plan.get("recency")
     if rec:
         scores = scores * _recency_factor(doc_ts, rec)
@@ -515,6 +525,31 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
         sel = part[order]
         for d, s in zip(hit_docs[sel], hit_scores[sel]):
             out_rows.append((_K_HIT, int(d), float(s), "", -1, 0))
+        # ---- score explanations for the local page candidates
+        # (≙ BrowseHit.getExplanation): per-term exact contributions;
+        # summed in the same ascending-lex order and multiplied by the
+        # recency factor they reproduce the score bit-for-bit
+        if plan.get("explain"):
+            sel_docs = hit_docs[sel]
+            cpos = np.searchsorted(cand, sel_docs)
+            if mode == "phrase":
+                for d, v in zip(sel_docs, raw_scores[cpos]):
+                    out_rows.append((_K_EXPL, int(d), float(v), "phrase", -1, 0))
+            else:
+                for t in present:
+                    docs, tf, dl, _l, _t2 = decoded[t["term_id"]]
+                    p = np.searchsorted(docs, sel_docs)
+                    ok = (p < docs.size) & \
+                        (docs[np.minimum(p, docs.size - 1)] == sel_docs)
+                    c = bm25.contrib(tf[p[ok]], dl[p[ok]], t["idf"], avgdl)
+                    for d, v in zip(sel_docs[ok], c):
+                        out_rows.append(
+                            (_K_EXPL, int(d), float(v), t["term"], -1, 0))
+            if rec:
+                fac = _recency_factor(doc_ts[cpos], rec)
+                for d, v in zip(sel_docs, fac):
+                    out_rows.append(
+                        (_K_EXPL, int(d), float(v), "recency_boost", -1, 0))
     out_rows.append((_K_STATS, -1, 0.0, "", -1,
                      n_hits_exact if n_hits_exact is not None else n_local))
     return pd.DataFrame(out_rows, columns=["kind", "doc_id", "score", "field", "ordinal", "count"])
@@ -734,6 +769,7 @@ class IndexReader:
             "phrase_ids": phrase_ids,
             "phrase_idf_sum": phrase_idf_sum,
             "recency": recency,
+            "explain": req.explain,
         }
 
     # --------------------------------------------------------------- execution
@@ -835,6 +871,15 @@ class IndexReader:
         page = hits_pd.iloc[order[req.offset:req.offset + req.k]]
         hits = page[["doc_id", "score"]].reset_index(drop=True)
         num_hits = int(out[out["kind"] == _K_STATS]["count"].sum())
+        explanations = None
+        if req.explain:
+            ex = out[out["kind"] == _K_EXPL]
+            ex = ex[ex["doc_id"].isin(hits["doc_id"])]
+            explanations = (
+                ex[["doc_id", "field", "score"]]
+                .rename(columns={"field": "part", "score": "value"})
+                .sort_values(["doc_id", "part"], ignore_index=True)
+            )
         facets = {}
         if plan["facets"]:
             fc = (
@@ -847,7 +892,8 @@ class IndexReader:
                 part = fc[fc["field"] == f].merge(d, on="ordinal")
                 part = part.sort_values(["count", "value"], ascending=[False, True])
                 facets[f] = part[["value", "count"]].reset_index(drop=True)
-        return SearchResult(hits=hits, num_hits=num_hits, facets=facets)
+        return SearchResult(hits=hits, num_hits=num_hits, facets=facets,
+                            explanations=explanations)
 
     # ---------------------------------------------------------- term vectors
 
