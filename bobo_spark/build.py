@@ -58,7 +58,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import IndexCatalog, Snapshot
-from .codecs import vb_encode_segmented
+from .codecs import (binary_array, binary_parts, compact_binary,
+                     empty_binary_array, vb_encode_segmented)
 from .extract import extract_text
 from .tokenizer import term_freq_frame
 
@@ -306,10 +307,8 @@ def _encode_partition(batches, block_size: int):
     min_dl = np.minimum.reduceat(dl, bstarts)
     # positions stream: per-pair buffers are already delta-varbyte —
     # a block's stream is the byte-concatenation of its rows' buffers
-    pos_col = pdf["pos_bytes"].to_numpy(object)
-    pos_lens = np.fromiter((len(x) for x in pos_col), dtype=np.int64, count=n)
-    pos_offs = np.concatenate(([0], np.cumsum(pos_lens)))
-    pos_all = b"".join(pos_col)
+    # (zero-copy when the column is Arrow-backed)
+    pos_all, pos_offs = binary_parts(pdf["pos_bytes"])
     # docID deltas: diff within block, first-of-block dropped (stored raw)
     prev = np.empty_like(doc)
     prev[0] = 0
@@ -324,7 +323,13 @@ def _encode_partition(batches, block_size: int):
     dl_buf, dl_off = vb_encode_segmented(dl.astype(np.uint64), bstarts)
     lo_buf, lo_off = vb_encode_segmented(lo.astype(np.uint64), bstarts)
     to_buf, to_off = vb_encode_segmented(to.astype(np.uint64), bstarts)
-    rng = range(total_blocks)
+    # blocks tile [0, n) contiguously, so every per-block stream is a
+    # contiguous slice of ONE encode buffer — emit each stream column
+    # as an Arrow binary array over (offsets, buffer) directly; the
+    # object-dtype alternative allocates 7 small bytes objects per
+    # block (hundreds of thousands per partition), which dominated the
+    # encode stage and throttled multi-worker scaling
+    pos_block_offs = pos_offs[np.append(bstarts, n)]
     res = pd.DataFrame(
         {
             "segment": seg[bstarts],
@@ -332,12 +337,12 @@ def _encode_partition(batches, block_size: int):
             "first_doc": doc[bstarts],
             "last_doc": doc[bends - 1],
             "n_docs": nd.astype(np.int32),
-            "doc_bytes": [doc_buf[doc_off[i]:doc_off[i + 1]] for i in rng],
-            "tf_bytes": [tf_buf[tf_off[i]:tf_off[i + 1]] for i in rng],
-            "dl_bytes": [dl_buf[dl_off[i]:dl_off[i + 1]] for i in rng],
-            "lang_bytes": [lo_buf[lo_off[i]:lo_off[i + 1]] for i in rng],
-            "ts_bytes": [to_buf[to_off[i]:to_off[i + 1]] for i in rng],
-            "pos_bytes": [pos_all[pos_offs[bstarts[i]]:pos_offs[bends[i]]] for i in rng],
+            "doc_bytes": pd.Series(binary_array(doc_buf, doc_off)),
+            "tf_bytes": pd.Series(binary_array(tf_buf, tf_off)),
+            "dl_bytes": pd.Series(binary_array(dl_buf, dl_off)),
+            "lang_bytes": pd.Series(binary_array(lo_buf, lo_off)),
+            "ts_bytes": pd.Series(binary_array(to_buf, to_off)),
+            "pos_bytes": pd.Series(binary_array(pos_all, pos_block_offs)),
             "max_tf": max_tf.astype(np.int32),
             "min_dl": min_dl.astype(np.int32),
         }
@@ -371,12 +376,16 @@ def _term_stats_partial(batches):
     for pdf in batches:
         if not len(pdf):
             continue
-        tf = term_freq_frame(pdf["doc_id"].to_numpy(np.int64), pdf["text"],
-                             positions=False)
-        agg = (tf.groupby("term", sort=False)
-               .agg(df=("tf", "size"), cf=("tf", "sum")).reset_index())
-        agg["df"] = agg["df"].astype(np.int64)
-        agg["cf"] = agg["cf"].astype(np.int64)
+        tf, uniq = term_freq_frame(pdf["doc_id"].to_numpy(np.int64),
+                                   pdf["text"], positions=False,
+                                   term_codes=True)
+        # per-code bincounts instead of a string groupby: df = run
+        # count per code, cf = tf sum per code — vocab-sized output
+        codes = tf["tcode"].to_numpy(np.int64)
+        df_ = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        cf_ = np.bincount(codes, weights=tf["tf"].to_numpy(np.float64),
+                          minlength=len(uniq)).astype(np.int64)
+        agg = pd.DataFrame({"term": uniq, "df": df_, "cf": cf_})
         yield pd.concat([agg] + _sentinel_stats(pdf), ignore_index=True)
 
 
@@ -397,8 +406,21 @@ def _encode_segment_local(batches, cfg: BuildConfig, tmap_bc):
     for pdf in batches:
         if not len(pdf):
             continue
-        tf = term_freq_frame(pdf["doc_id"].to_numpy(np.int64), pdf["text"],
-                             positions=cfg.store_positions)
+        tf, uniq = term_freq_frame(pdf["doc_id"].to_numpy(np.int64),
+                                   pdf["text"],
+                                   positions=cfg.store_positions,
+                                   term_codes=True)
+        # ONE vocab-sized dictionary lookup per batch instead of a
+        # per-run string map (runs outnumber the vocab ~50x)
+        uniq_tid = pd.Series(np.asarray(uniq, dtype=object)).map(tmap)
+        if uniq_tid.isna().any():
+            missing = np.asarray(uniq, dtype=object)[
+                uniq_tid.isna().to_numpy()][0]
+            raise ValueError(
+                f"term {missing!r} missing from the "
+                "broadcast dictionary — pass-1 stats and pass-2 "
+                "tokenization diverged (non-deterministic input?)")
+        run_tids = uniq_tid.to_numpy(np.int64)[tf["tcode"].to_numpy(np.int64)]
         side = pdf[["doc_id", "lang_ord", "ts_ord", "segment"]].set_index("doc_id")
         tf = tf.join(side, on="doc_id")
         packed = pack_meta(tf["tf"].to_numpy(np.int64),
@@ -407,27 +429,36 @@ def _encode_segment_local(batches, cfg: BuildConfig, tmap_bc):
                            tf["ts_ord"].to_numpy(np.int64))
         text_rows = pd.DataFrame({
             "doc_id": tf["doc_id"].to_numpy(np.int64),
-            "term": tf["term"],
+            "term_id": run_tids,
             "packed": packed,
             "segment": tf["segment"].to_numpy(np.int64),
-            "pos_bytes": tf["pos_bytes"] if cfg.store_positions
-            else [b""] * len(tf),
+            "pos_bytes": (tf["pos_bytes"].reset_index(drop=True)
+                          if cfg.store_positions
+                          else pd.Series(empty_binary_array(len(tf)))),
         })
         n = len(pdf)
-        # facet sentinels (inverted access path for selections)
+        # facet sentinels (inverted access path for selections):
+        # term ids resolved per UNIQUE ordinal, then gathered per row
         sent_packed = pack_meta(
             np.ones(n, dtype=np.int64), np.zeros(n, dtype=np.int64),
             pdf["lang_ord"].to_numpy(np.int64), pdf["ts_ord"].to_numpy(np.int64))
-        sent = pd.concat([
-            pd.DataFrame({
+        sent_frames = []
+        for fld, col in (("lang", "lang_ord"), ("ts", "ts_ord")):
+            ords = pdf[col].to_numpy(np.int64)
+            u_ords, inv = np.unique(ords, return_inverse=True)
+            names = pd.Series([f"\x00{fld}:{o}" for o in u_ords])
+            u_tids = names.map(tmap)
+            if u_tids.isna().any():
+                raise ValueError(
+                    f"sentinel {names[u_tids.isna()].iloc[0]!r} missing "
+                    "from the broadcast dictionary")
+            sent_frames.append(pd.DataFrame({
                 "doc_id": pdf["doc_id"].to_numpy(np.int64),
-                "term": ("\x00" + fld + ":") + pdf[col].astype(str),
+                "term_id": u_tids.to_numpy(np.int64)[inv],
                 "packed": sent_packed,
                 "segment": pdf["segment"].to_numpy(np.int64),
-                "pos_bytes": [b""] * n,
-            })
-            for fld, col in (("lang", "lang_ord"), ("ts", "ts_ord"))
-        ], ignore_index=True)
+                "pos_bytes": pd.Series(empty_binary_array(n)),
+            }))
         # pseudo forward run: term_id -1, one posting per doc, packed
         # carries (tf=1, doclen, lang, ts)
         dl_map = tf.drop_duplicates("doc_id").set_index("doc_id")["doclen"]
@@ -437,21 +468,13 @@ def _encode_segment_local(batches, cfg: BuildConfig, tmap_bc):
             pdf["lang_ord"].to_numpy(np.int64), pdf["ts_ord"].to_numpy(np.int64))
         fwd = pd.DataFrame({
             "doc_id": pdf["doc_id"].to_numpy(np.int64),
-            "term": "",  # resolved to -1 below
+            "term_id": np.full(n, -1, dtype=np.int64),
             "packed": fwd_packed,
             "segment": pdf["segment"].to_numpy(np.int64),
-            "pos_bytes": [b""] * n,
+            "pos_bytes": pd.Series(empty_binary_array(n)),
         })
-        part = pd.concat([text_rows, sent, fwd], ignore_index=True)
-        tid = part["term"].map(tmap).to_numpy()
-        bad = pd.isna(tid) & (part["term"] != "").to_numpy()
-        if bad.any():
-            raise ValueError(
-                f"term {part['term'][bad].iloc[0]!r} missing from the "
-                "broadcast dictionary — pass-1 stats and pass-2 "
-                "tokenization diverged (non-deterministic input?)")
-        part["term_id"] = np.where(part["term"] == "", -1, tid).astype(np.int64)
-        parts.append(part.drop(columns="term"))
+        parts.append(pd.concat([text_rows] + sent_frames + [fwd],
+                               ignore_index=True))
     if not parts:
         return
     allp = pd.concat(parts, ignore_index=True)
@@ -698,8 +721,9 @@ def build_snapshot(
                     "term": tf["term"],
                     "packed": packed,
                     "segment": tf["segment"],
-                    "pos_bytes": tf["pos_bytes"] if cfg.store_positions
-                    else [b""] * len(tf),
+                    "pos_bytes": (tf["pos_bytes"].reset_index(drop=True)
+                                  if cfg.store_positions
+                                  else pd.Series(empty_binary_array(len(tf)))),
                 })
                 # facet-value sentinel postings ("\x00field:ord", tf=1):
                 # give selective facet selections an inverted access
@@ -716,11 +740,13 @@ def build_snapshot(
                         "term": ("\x00" + fld + ":") + pdf[col].astype(str),
                         "packed": sent_packed,
                         "segment": pdf["segment"],
-                        "pos_bytes": [b""] * len(pdf),
+                        "pos_bytes": pd.Series(empty_binary_array(len(pdf))),
                     })
                     for fld, col in (("lang", "lang_ord"), ("ts", "ts_ord"))
                 ], ignore_index=True)
-                yield pd.concat([out, sent], ignore_index=True)
+                both = pd.concat([out, sent], ignore_index=True)
+                both["pos_bytes"] = compact_binary(both["pos_bytes"])
+                yield both
 
         pairs_schema = "doc_id long, term string, packed long, segment long, pos_bytes binary"
         pair_src.mapInPandas(to_pairs, schema=pairs_schema).write.mode("overwrite").parquet(pairs_path)

@@ -18,6 +18,8 @@ reference's per-value minID/maxID skip bounds
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
+import pyarrow as pa
 
 BLOCK_SIZE = 128
 _MAX_VARBYTES = 10  # enough for uint64
@@ -107,6 +109,63 @@ def vb_encode_segmented(values: np.ndarray, seg_starts: np.ndarray) -> tuple[byt
     offsets[:-1] = starts_b[seg_starts] if len(seg_starts) else 0
     offsets[-1] = total
     return out.tobytes(), offsets
+
+
+def binary_array(buf, offsets: np.ndarray):
+    """One Arrow-backed pandas array of ``len(offsets)-1`` binary
+    values sliced from a contiguous buffer — ZERO per-value Python
+    ``bytes`` objects.
+
+    The object-dtype alternative materializes one heap object per
+    posting run / block stream (millions per partition at build
+    scale); that allocator churn dominated the encode stage and
+    serialized Python workers on the shared allocator — the measured
+    postings-stage scaling gap. Arrow's (offsets, data) layout IS the
+    on-wire format mapInPandas ships, so this is also conversion-free
+    at the Spark boundary."""
+    n = len(offsets) - 1
+    # Spark's Arrow bridge maps BinaryType to 32-bit-offset binary —
+    # fine: a build partition's stream buffers are MBs, not GBs (the
+    # partitioner bounds rows per partition)
+    if int(offsets[-1]) >= (1 << 31):
+        raise ValueError("binary column buffer exceeds 2 GiB — lower "
+                         "rows_per_posting_partition")
+    arr = pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int32)),
+         pa.py_buffer(buf)])
+    return pd.arrays.ArrowExtensionArray(arr)
+
+
+def binary_parts(col: "pd.Series") -> tuple[memoryview | bytes, np.ndarray]:
+    """(concatenated_bytes, offsets[n+1]) of a binary column —
+    zero-copy for Arrow-backed columns, one join for object dtype."""
+    if isinstance(col.dtype, pd.ArrowDtype):
+        arr = col.array._pa_array.combine_chunks()
+        odt = np.int64 if arr.type == pa.large_binary() else np.int32
+        offs = np.frombuffer(arr.buffers()[1], dtype=odt)[
+            arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+        data = memoryview(arr.buffers()[2])[offs[0]:offs[-1]] \
+            if arr.buffers()[2] is not None else b""
+        return data, offs - offs[0]
+    vals = col.to_numpy(object)
+    lens = np.fromiter((len(x) for x in vals), dtype=np.int64,
+                       count=len(vals))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    return b"".join(vals), offs
+
+
+def empty_binary_array(n: int):
+    """Arrow-backed column of ``n`` empty byte strings."""
+    return binary_array(b"", np.zeros(n + 1, dtype=np.int64))
+
+
+def compact_binary(col: "pd.Series") -> "pd.Series":
+    """Re-pack a (possibly chunked, possibly object) binary column
+    into ONE contiguous Arrow array — required at the mapInPandas
+    boundary, whose serializer takes single Arrow arrays only."""
+    buf, offs = binary_parts(col)
+    return pd.Series(binary_array(buf, offs), index=col.index)
 
 
 def delta_encode(sorted_vals: np.ndarray) -> tuple[int, np.ndarray]:
