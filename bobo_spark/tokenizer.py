@@ -201,7 +201,7 @@ def section_starts_frame(doc_ids: np.ndarray, texts: pd.Series,
     IntMetaDataQuery.java:20): boundaries are stored once per doc, and
     occurrence→section resolves at query time.
     """
-    from .codecs import vb_encode_segmented
+    from .codecs import binary_array, vb_encode_segmented
 
     parts = texts.str.split(pattern, regex=True)
     nparts = parts.map(len).to_numpy(np.int64)
@@ -219,5 +219,5 @@ def section_starts_frame(doc_ids: np.ndarray, texts: pd.Series,
     return pd.DataFrame({
         "doc_id": np.asarray(doc_ids, dtype=np.int64),
         "n_secs": nparts.astype(np.int32),
-        "sec_bytes": [buf[offs[i]:offs[i + 1]] for i in range(len(doc_first))],
+        "sec_bytes": pd.Series(binary_array(buf, offs)),
     })

@@ -152,6 +152,38 @@ def run_text_ceiling(cores: int, n_rows: int = 600_000, n_tasks: int = 64) -> fl
     return sec
 
 
+def run_arrow_text_ceiling(cores: int, n_rows: int = 600_000,
+                           n_tasks: int = 64) -> float:
+    """Ceiling probe for the ROUND-4 tokenize path: the engine's own
+    flat_token_codes (Arrow C++ utf8_lower + split_pattern_regex +
+    dictionary_encode) over synthetic ASCII strings with fixed total
+    work — replaces the pandas-regex probe as the applicable ceiling
+    now that the build tokenizes in Arrow."""
+    import numpy as np
+    import pandas as pd
+    from bobo_spark.session import get_spark
+    from bobo_spark.tokenizer import flat_token_codes
+
+    spark = get_spark(f"atextceil_{cores}", cores=cores)
+
+    def burn(batches):
+        for pdf in batches:
+            i = pdf["id"].to_numpy(np.int64)
+            words = np.array([f"w{k}" for k in range(997)], dtype=object)
+            toks = words[(i[:, None] * 31 + np.arange(25)) % 997]
+            texts = pd.Series([" ".join(r) for r in toks])
+            codes, uniq, dl = flat_token_codes(texts)
+            yield pd.DataFrame({"s": [int(codes.sum() % 997 + len(uniq))]})
+
+    df = spark.range(0, n_rows, 1, n_tasks)
+    df.mapInPandas(burn, "s long").count()  # warm-up
+    t0 = time.time()
+    df.mapInPandas(burn, "s long").count()
+    sec = time.time() - t0
+    spark.stop()
+    return sec
+
+
 def run_shuffle_ceiling(cores: int, n_rows: int = 40_000_000) -> float:
     """Shuffle-bandwidth ceiling probe: a bare Exchange (range-partition
     + sort, same shape as the postings stage) over ~40-byte rows with
@@ -183,6 +215,18 @@ def main() -> None:
         hi = min(run_shuffle_ceiling(n_hi) for _ in range(reps))
         print(json.dumps({
             "ceiling_probe": "bare range-partition+sort Exchange, md5 payload rows",
+            f"sec_local{n_lo}": round(lo, 2), f"sec_local{n_hi}": round(hi, 2),
+            "ceiling_efficiency": round((lo / hi) / (n_hi / n_lo), 3),
+        }))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ceiling-arrow-text":
+        n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else n_lo * 4
+        reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+        lo = min(run_arrow_text_ceiling(n_lo) for _ in range(reps))
+        hi = min(run_arrow_text_ceiling(n_hi) for _ in range(reps))
+        print(json.dumps({
+            "ceiling_probe": "engine flat_token_codes (Arrow C++ tokenize+dict-encode), fixed work",
             f"sec_local{n_lo}": round(lo, 2), f"sec_local{n_hi}": round(hi, 2),
             "ceiling_efficiency": round((lo / hi) / (n_hi / n_lo), 3),
         }))

@@ -93,3 +93,29 @@ def test_term_freq_frame_positions():
     a = {(r.doc_id, r.term): (r.tf, r.doclen) for r in plain.itertuples()}
     b = {(r.doc_id, r.term): (r.tf, r.doclen) for r in tf.itertuples()}
     assert a == b
+
+
+def test_flat_token_codes_paths_agree():
+    """The Arrow fast path (all-ASCII batches) must produce the same
+    token stream, doclens, and code semantics as the pandas fallback;
+    non-ASCII batches must take the fallback (Unicode casing parity
+    with the oracle)."""
+    from bobo_spark.tokenizer import flat_token_codes
+
+    ascii_texts = pd.Series(["Hello, World! foo-bar 42x", "", "a  b\tc\nd",
+                             "x" * 5, "A1 b2 A1"])
+    c1, u1, d1 = flat_token_codes(ascii_texts)
+    # reference: canonical tokenize()
+    want = [tokenize(t) for t in ascii_texts]
+    assert d1.tolist() == [len(w) for w in want]
+    flat = [u1[c] for c in c1]
+    assert flat == [t for w in want for t in w]
+    # codes are first-appearance dense ints
+    assert sorted(set(c1.tolist())) == list(range(len(u1)))
+
+    # non-ASCII: falls back, still matches tokenize()
+    uni = pd.Series(["İstanbul CAFÉ merge", "naïve spark"])
+    c2, u2, d2 = flat_token_codes(uni)
+    want2 = [tokenize(t) for t in uni]
+    assert [u2[c] for c in c2] == [t for w in want2 for t in w]
+    assert d2.tolist() == [len(w) for w in want2]
