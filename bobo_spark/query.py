@@ -9,7 +9,8 @@ Execution model (the Spark rendition of SURVEY.md §3.1):
   ``term_id IN (...)`` filter (blocks are sorted by (segment, term_id,
   doc_id) at build time → parquet row-group pruning does the work of
   Lucene's TermsEnum seek).
-* ``groupBy(segment).applyInPandas`` scores each segment locally —
+* ``groupBy(segment).applyInArrow`` scores each segment locally
+  (stream columns stay on Arrow buffers — no per-block Python bytes) —
   the exact analogue of the reference's per-segment sub-browse loop
   (api/MultiBoboBrowser.java:100-127): decode → selection masks →
   intersection/union → BM25 TAAT accumulation in ascending
@@ -44,6 +45,19 @@ from . import bm25
 from .catalog import IndexCatalog, Snapshot
 from .codecs import vb_decode
 from .tokenizer import tokenize
+
+import os
+
+# Arrow-native UDF ingestion (applyInArrow + Arrow-backed stream
+# columns) is OFF by default for QUERY paths: measured A/B at 2M docs
+# / 80-query search_many (this host, interleaved best-of runs) —
+# applyInPandas 12.4-13.1 s @4c / 5.1-6.2 s @16c vs applyInArrow
+# 15.5-20.2 / 6.4-6.9. Queries slice blocks into MANY small per-term
+# groups, so Arrow's per-slice take/combine overhead outweighs the
+# object-materialization savings that dominate the BUILD's few huge
+# frames (where the same idea, codecs.binary_array, won 2-3x).
+# BOBO_ARROW_UDF=1 re-enables for experiments.
+_ARROW_UDF = os.environ.get("BOBO_ARROW_UDF", "0") == "1"
 
 OUT_SCHEMA = "kind int, doc_id long, score double, field string, ordinal long, count long"
 _K_HIT, _K_FACET, _K_STATS, _K_EXPL = 1, 2, 3, 4
@@ -111,6 +125,62 @@ def _plan_terms(terms_pd: pd.DataFrame, qtokens: list[str], n_docs: int) -> list
     return plan
 
 
+def _cat_bytes(col: pd.Series):
+    """Concatenated bytes of a binary column — zero-copy from the
+    Arrow buffers on the applyInArrow path, plain join otherwise."""
+    if isinstance(col.dtype, pd.ArrowDtype):
+        from .codecs import binary_parts
+        return binary_parts(col)[0]
+    return b"".join(col)
+
+
+_BYTES_COLS = frozenset(
+    ("doc_bytes", "tf_bytes", "dl_bytes", "lang_bytes", "ts_bytes",
+     "pos_bytes", "sec_bytes"))
+
+
+def _table_to_pdf(tbl) -> pd.DataFrame:
+    """One segment's Arrow record batch → pandas frame with numpy
+    numeric columns and ARROW-BACKED binary columns.
+
+    The applyInPandas default converts every binary cell into a Python
+    ``bytes`` object — at web scale that is hundreds of thousands of
+    heap objects per query task, the same allocator churn the build
+    side eliminated with codecs.binary_array. Keeping the stream
+    columns on their Arrow buffers makes the per-term decode
+    (``_cat_bytes`` → one ``np.frombuffer``) zero-copy."""
+    cols = {}
+    for name in tbl.schema.names:
+        c = tbl.column(name)
+        if name in _BYTES_COLS:
+            cols[name] = pd.arrays.ArrowExtensionArray(c.combine_chunks())
+        else:
+            cols[name] = c.to_numpy(zero_copy_only=False)
+    return pd.DataFrame(cols)
+
+
+_OUT_DTYPES = {"kind": np.int32, "doc_id": np.int64, "score": np.float64,
+               "ordinal": np.int64, "count": np.int64}
+
+
+def _to_arrow_out(pdf: pd.DataFrame):
+    """Segment-scorer output frame → pa.Table with the exact OUT
+    schema (applyInArrow requires the declared types, no coercion)."""
+    import pyarrow as pa
+
+    cols = []
+    names = list(pdf.columns)
+    for name in names:
+        if name == "field":
+            cols.append(pa.array(pdf[name].astype(str), type=pa.string()))
+        elif name == "qid":
+            cols.append(pa.array(pdf[name].to_numpy(np.int32),
+                                 type=pa.int32()))
+        else:
+            cols.append(pa.array(pdf[name].to_numpy(_OUT_DTYPES[name])))
+    return pa.Table.from_arrays(cols, names=names)
+
+
 def _decode_docs(b: pd.DataFrame) -> np.ndarray:
     """Decode ONLY the docID streams of a term's blocks (sorted by
     first_doc): one vectorized pass over the concatenated delta
@@ -121,7 +191,7 @@ def _decode_docs(b: pd.DataFrame) -> np.ndarray:
     firsts = b["first_doc"].to_numpy(np.int64)
     total = int(nds.sum())
     starts = np.cumsum(nds) - nds
-    deltas_all = vb_decode(b"".join(b["doc_bytes"])).astype(np.int64)
+    deltas_all = vb_decode(_cat_bytes(b["doc_bytes"])).astype(np.int64)
     vals = np.zeros(total, dtype=np.int64)
     mask = np.ones(total, dtype=bool)
     mask[starts] = False
@@ -148,10 +218,10 @@ def _decode_term_blocks(b: pd.DataFrame, docs: np.ndarray | None = None):
     """
     if docs is None:
         docs = _decode_docs(b)
-    tf = vb_decode(b"".join(b["tf_bytes"])).astype(np.int64)
-    dl = vb_decode(b"".join(b["dl_bytes"])).astype(np.int64)
-    lang = vb_decode(b"".join(b["lang_bytes"])).astype(np.int64)
-    ts = vb_decode(b"".join(b["ts_bytes"])).astype(np.int64)
+    tf = vb_decode(_cat_bytes(b["tf_bytes"])).astype(np.int64)
+    dl = vb_decode(_cat_bytes(b["dl_bytes"])).astype(np.int64)
+    lang = vb_decode(_cat_bytes(b["lang_bytes"])).astype(np.int64)
+    ts = vb_decode(_cat_bytes(b["ts_bytes"])).astype(np.int64)
     return docs, tf, dl, lang, ts
 
 
@@ -162,7 +232,7 @@ def _decode_positions(b: pd.DataFrame, tf: np.ndarray) -> np.ndarray:
     """Decode a term's positions stream (aligned with the decoded tf
     order): per posting, first position absolute then gaps — recovered
     with one segmented cumsum over the concatenated buffers."""
-    vals = vb_decode(b"".join(b["pos_bytes"])).astype(np.int64)
+    vals = vb_decode(_cat_bytes(b["pos_bytes"])).astype(np.int64)
     total = int(tf.sum())
     if vals.size != total:
         raise ValueError(
@@ -797,8 +867,18 @@ class IndexReader:
         src = self._postings_full if plan["mode"] == "phrase" else self._postings
         blocks = src.where(F.col("term_id").isin(tids))
         deleted_bc = self._deleted_bc
+        # applyInArrow, not applyInPandas: the stream columns stay on
+        # their Arrow buffers instead of becoming one Python bytes
+        # object per block (hundreds of thousands per task at scale)
+        if _ARROW_UDF:
+            return blocks.groupBy("segment").applyInArrow(
+                lambda tbl: _to_arrow_out(
+                    _segment_search(_table_to_pdf(tbl), plan, deleted_bc)),
+                schema=OUT_SCHEMA,
+            )
         return blocks.groupBy("segment").applyInPandas(
-            lambda pdf: _segment_search(pdf, plan, deleted_bc), schema=OUT_SCHEMA
+            lambda pdf: _segment_search(pdf, plan, deleted_bc),
+            schema=OUT_SCHEMA,
         )
 
     # ----------------------------------------------- MatchAll / selection-only
@@ -937,7 +1017,7 @@ class IndexReader:
                 # facet sentinel terms carry no positions even in a
                 # positional index — they are dropped by the term-name
                 # filter below, so just skip their decode
-                g_pos = has_pos and any(len(x) for x in g["pos_bytes"])
+                g_pos = has_pos and len(_cat_bytes(g["pos_bytes"])) > 0
                 pos = _decode_positions(g, tf) if g_pos else None
                 starts = np.cumsum(tf) - tf
                 sel = np.flatnonzero(np.isin(docs, ids_arr))
@@ -1109,9 +1189,15 @@ class IndexReader:
                    if any(p["mode"] == "phrase" for _, p in runnable_plans)
                    else self._postings)
             blocks = src.where(F.col("term_id").isin(all_tids))
-            out = blocks.groupBy("segment").applyInPandas(
-                run_segment, schema=out_schema
-            ).toPandas()
+            if _ARROW_UDF:
+                out = blocks.groupBy("segment").applyInArrow(
+                    lambda tbl: _to_arrow_out(run_segment(_table_to_pdf(tbl))),
+                    schema=out_schema
+                ).toPandas()
+            else:
+                out = blocks.groupBy("segment").applyInPandas(
+                    run_segment, schema=out_schema
+                ).toPandas()
         else:
             out = pd.DataFrame(columns=["kind", "doc_id", "score", "field",
                                         "ordinal", "count", "qid"])
