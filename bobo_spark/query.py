@@ -301,7 +301,8 @@ def _and_masks(*masks):
     return out
 
 
-def _postings_doc_mask(cand: np.ndarray, groups: dict, tids: list[int]) -> np.ndarray:
+def _postings_doc_mask(cand: np.ndarray, groups: dict, tids: list[int],
+                       shared_decode: dict | None = None) -> np.ndarray:
     """Inverted access path for a selection: membership of candidates
     in the union of the facet-value posting lists (sorted-array
     intersection, ≙ OR of TermDocIdSets)."""
@@ -309,7 +310,13 @@ def _postings_doc_mask(cand: np.ndarray, groups: dict, tids: list[int]) -> np.nd
     for tid in tids:
         g = groups.get(tid)
         if g is not None and len(g):
-            doc_lists.append(_decode_term_blocks(g)[0])
+            if shared_decode is not None and tid in shared_decode:
+                doc_lists.append(shared_decode[tid][0])
+                continue
+            dec = _decode_term_blocks(g)
+            if shared_decode is not None:
+                shared_decode[tid] = dec
+            doc_lists.append(dec[0])
     if not doc_lists:
         return np.zeros(cand.size, dtype=bool)
     allowed = np.unique(np.concatenate(doc_lists))
@@ -391,9 +398,22 @@ def _blockmax_prune(groups: dict, present: list, k: int, avgdl: float,
 
 
 def _segment_search(pdf: pd.DataFrame, plan: dict,
-                    deleted_bc=None) -> pd.DataFrame:
-    """Score one segment's query-term blocks (pure pandas/numpy)."""
-    deleted = _segment_deleted(deleted_bc, pdf)
+                    deleted_bc=None, groups_all: dict | None = None,
+                    shared_decode: dict | None = None,
+                    deleted: np.ndarray | None = None) -> pd.DataFrame:
+    """Score one segment's query-term blocks (pure pandas/numpy).
+
+    Batch mode (search_many): the caller passes ``groups_all`` (the
+    task's blocks pre-grouped by term once) and a ``shared_decode``
+    dict so a term's streams are decoded ONCE per task no matter how
+    many of the batch's queries reference it. In that mode the
+    per-query decode-saving shortcuts (conjunctive block skip,
+    block-max pruning) are disabled — they subset blocks per query,
+    which would defeat decode sharing; results are identical either
+    way (property-tested), only the work-skipping differs.
+    """
+    if deleted is None and groups_all is None:
+        deleted = _segment_deleted(deleted_bc, pdf)
     terms = plan["terms"]
     mode = plan["mode"]
     k = plan["k"] + plan["offset"]
@@ -402,7 +422,14 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
     sel_ts = np.array(plan["sel_ts"], dtype=np.int64) if plan["sel_ts"] is not None else None
     out_rows = []
 
-    groups = {tid: g.sort_values("first_doc") for tid, g in pdf.groupby("term_id")}
+    if groups_all is not None:
+        need = {t["term_id"] for t in terms} \
+            | set(plan.get("sel_lang_tids", [])) \
+            | set(plan.get("sel_ts_tids", []))
+        groups = {tid: groups_all[tid] for tid in need if tid in groups_all}
+    else:
+        groups = {tid: g.sort_values("first_doc")
+                  for tid, g in pdf.groupby("term_id")}
     present = [t for t in terms if t["term_id"] in groups]
     conj = mode in ("and", "phrase")  # phrase = conjunction + positional check
     if conj and len(present) < len(terms):
@@ -411,7 +438,7 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
         return _empty_out()
 
     # ---- conjunctive block skip: drop blocks not overlapping the rarest term's
-    if conj and len(present) > 1:
+    if conj and len(present) > 1 and shared_decode is None:
         rare = min(present, key=lambda t: t["df"])
         rb = groups[rare["term_id"]]
         rf = rb["first_doc"].to_numpy(np.int64)
@@ -431,6 +458,7 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
     pruned_mode = (
         mode == "or" and plan.get("prune") and not plan["facets"]
         and sel_lang is None and sel_ts is None and len(present) > 1
+        and shared_decode is None
     )
     n_hits_exact = None
     doc_cache: dict = {}
@@ -457,22 +485,28 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
 
     decoded = {}
     for t in present:
-        g = groups[t["term_id"]]
+        tid = t["term_id"]
+        g = groups[tid]
         if len(g) == 0:
             if conj:
                 return _empty_out()
             continue
+        if shared_decode is not None and tid in shared_decode:
+            decoded[tid] = shared_decode[tid]
+            continue
         pre = None
-        if t["term_id"] in doc_cache:
-            docs_all, offs = doc_cache[t["term_id"]]
-            keep = keep_masks.get(t["term_id"])
+        if tid in doc_cache:
+            docs_all, offs = doc_cache[tid]
+            keep = keep_masks.get(tid)
             if keep is None:
                 pre = docs_all
             else:
                 idx = np.flatnonzero(keep)
                 pre = (np.concatenate([docs_all[offs[i]:offs[i + 1]] for i in idx])
                        if idx.size else np.zeros(0, dtype=np.int64))
-        decoded[t["term_id"]] = _decode_term_blocks(g, docs=pre)
+        decoded[tid] = _decode_term_blocks(g, docs=pre)
+        if shared_decode is not None:
+            shared_decode[tid] = decoded[tid]
     present = [t for t in present if t["term_id"] in decoded]
     if not present:
         return _empty_out()
@@ -530,12 +564,14 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
     lang_mask = ts_mask = None
     if sel_lang is not None:
         lang_mask = (
-            _postings_doc_mask(cand, groups, plan["sel_lang_tids"])
+            _postings_doc_mask(cand, groups, plan["sel_lang_tids"],
+                               shared_decode)
             if lang_postings else np.isin(doc_lang, sel_lang)
         )
     if sel_ts is not None:
         ts_mask = (
-            _postings_doc_mask(cand, groups, plan["sel_ts_tids"])
+            _postings_doc_mask(cand, groups, plan["sel_ts_tids"],
+                               shared_decode)
             if ts_postings else np.isin(doc_ts, sel_ts)
         )
     m = _and_masks(lang_mask, ts_mask)
@@ -625,12 +661,15 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
     return pd.DataFrame(out_rows, columns=["kind", "doc_id", "score", "field", "ordinal", "count"])
 
 
+_EMPTY_OUT = pd.DataFrame(
+    {"kind": pd.Series([], dtype="int32"), "doc_id": pd.Series([], dtype="int64"),
+     "score": pd.Series([], dtype="float64"), "field": pd.Series([], dtype="object"),
+     "ordinal": pd.Series([], dtype="int64"), "count": pd.Series([], dtype="int64")}
+)
+
+
 def _empty_out() -> pd.DataFrame:
-    return pd.DataFrame(
-        {"kind": pd.Series([], dtype="int32"), "doc_id": pd.Series([], dtype="int64"),
-         "score": pd.Series([], dtype="float64"), "field": pd.Series([], dtype="object"),
-         "ordinal": pd.Series([], dtype="int64"), "count": pd.Series([], dtype="int64")}
-    )
+    return _EMPTY_OUT.copy()
 
 
 class IndexReader:
@@ -1166,15 +1205,25 @@ class IndexReader:
             deleted_bc = self._deleted_bc
 
             def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+                # batch execution shares per-task state across ALL
+                # queries: blocks are grouped by term once, each term's
+                # streams decode once (shared_decode) however many
+                # queries reference it — the measured per-task profile
+                # was ~40% repeated decode + ~30% per-query regrouping
                 outs = []
+                groups_all = {tid: g.sort_values("first_doc")
+                              for tid, g in pdf.groupby("term_id")}
+                seg_deleted = _segment_deleted(deleted_bc, pdf)
+                shared: dict = {}
                 for qid, plan in runnable_plans:
                     tids = [t["term_id"] for t in plan["terms"] if t["term_id"] >= 0]
                     tids += plan.get("sel_lang_tids", []) + plan.get("sel_ts_tids", [])
-                    sub = pdf[pdf["term_id"].isin(tids)]
-                    if len(sub):
-                        o = _segment_search(sub, plan, deleted_bc)
+                    if any(tid in groups_all for tid in tids):
+                        o = _segment_search(None, plan,
+                                            groups_all=groups_all,
+                                            shared_decode=shared,
+                                            deleted=seg_deleted)
                         if len(o):
-                            o = o.copy()
                             o["qid"] = np.int32(qid)
                             outs.append(o)
                 if not outs:

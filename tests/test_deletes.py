@@ -149,3 +149,20 @@ def test_append_after_delete_keeps_tombstones(spark, tmp_path_factory):
     fc2 = dict(zip(r2.facet_counts("lang")["value"],
                    r2.facet_counts("lang")["count"]))
     assert fc2[rare] == n_rare_b
+
+
+def test_search_many_excludes_deleted(env):
+    """Batch mode shares per-task decode state across queries — its
+    tombstone handling (deleted passed once per task) must match the
+    single-query path exactly."""
+    spark, d, docs, before, after, victims = env
+    reqs = [SearchRequest(query="ba", mode="or", k=20),
+            SearchRequest(query="ba be", mode="and", k=10),
+            SearchRequest(query="ba be", mode="or", k=10, facets=("lang",))]
+    batch = after.search_many(reqs)
+    for b, r in zip(batch, reqs):
+        s = after.search(r)
+        assert b.hits["doc_id"].tolist() == s.hits["doc_id"].tolist()
+        assert b.hits["score"].tolist() == s.hits["score"].tolist()
+        assert b.num_hits == s.num_hits
+        assert not set(victims) & set(b.hits["doc_id"])
