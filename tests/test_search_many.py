@@ -43,8 +43,9 @@ def test_batch_equals_single(reader):
 
 
 def test_batch_prunes_like_single(reader):
-    """Batch mode honors per-request pruning (facet-less disjunctive
-    queries) and stays exact vs both solo search() and solo unpruned."""
+    """Facet-less disjunctive queries: batch mode (which trades
+    per-query block-max pruning for cross-query decode sharing) must
+    stay exact vs solo pruned AND solo unpruned search()."""
     qs = reference_queryset(make_vocab(), n_conj=0, n_disj=8, n_lang=0, n_ts=0)
     reqs = [SearchRequest(query=q["query"], mode="or", k=10) for q in qs]
     batch = reader.search_many(reqs)
@@ -56,3 +57,21 @@ def test_batch_prunes_like_single(reader):
             assert got.hits["doc_id"].tolist() == ref.hits["doc_id"].tolist()
             assert got.hits["score"].tolist() == ref.hits["score"].tolist()
             assert got.num_hits == ref.num_hits
+
+
+def test_batch_phrase_and_matchall(reader):
+    """Phrase queries share the batch task's full-frame decode (no
+    conjunctive block skip in batch mode) and MatchAll requests route
+    to the forward-scan path — both must equal their solo twins."""
+    reqs = [
+        SearchRequest(query="ba be", mode="phrase", k=10),
+        SearchRequest(query=None, k=10, selections={"lang": ["en"]}),
+        SearchRequest(query="ba be", mode="and", k=10),
+        SearchRequest(query="ba", mode="phrase", k=10),
+    ]
+    batch = reader.search_many(reqs)
+    for req, got in zip(reqs, batch):
+        single = reader.search(req)
+        assert got.hits["doc_id"].tolist() == single.hits["doc_id"].tolist()
+        assert got.hits["score"].tolist() == single.hits["score"].tolist()
+        assert got.num_hits == single.num_hits
