@@ -883,6 +883,39 @@ class IndexReader:
 
     # --------------------------------------------------------------- execution
 
+    # Σdf below which the per-segment scoring runs ON THE DRIVER:
+    # fetching the term-filtered blocks once (pushed term_id IN scan)
+    # is cheaper than the groupBy exchange + Python-worker round trip
+    # when the query touches only page-scale posting counts. The
+    # dictionary df makes the cost KNOWN before execution — an exact
+    # cost-based path choice, not a heuristic (≙ the reference being
+    # an embedded single-searcher library; head terms at web scale
+    # exceed the bound and take the distributed path).
+    DRIVER_POSTINGS_THRESHOLD = 200_000
+
+    def _driver_fastpath(self, plan: dict) -> bool:
+        if plan.get("sel_lang_tids") or plan.get("sel_ts_tids"):
+            return False  # sentinel posting lists' df not in the plan
+        total_df = sum(t["df"] for t in plan["terms"] if t["term_id"] >= 0)
+        return total_df <= self.DRIVER_POSTINGS_THRESHOLD
+
+    def _segment_outputs_driver(self, plan: dict) -> pd.DataFrame:
+        """Driver-side twin of _segment_outputs: one term-filtered
+        block fetch, then the SAME per-segment scorer in-process."""
+        tids = [t["term_id"] for t in plan["terms"] if t["term_id"] >= 0]
+        if not tids or (plan["mode"] in ("and", "phrase")
+                        and len(tids) < len(plan["terms"])):
+            return _empty_out()
+        if plan["mode"] == "phrase":
+            self._require_positions()
+        src = self._postings_full if plan["mode"] == "phrase" else self._postings
+        pdf = src.where(F.col("term_id").isin(tids)).toPandas()
+        if not len(pdf):
+            return _empty_out()
+        outs = [_segment_search(g, plan, self._deleted_bc)
+                for _, g in pdf.groupby("segment")]
+        return pd.concat(outs, ignore_index=True) if outs else _empty_out()
+
     def _require_positions(self) -> None:
         """Plan-time guard: a phrase/section query against an index
         built with store_positions=False must fail on the DRIVER with
@@ -984,7 +1017,8 @@ class IndexReader:
         if req.query is None:
             return self._matchall_search(req)
         plan = self.plan(req)
-        out = self._segment_outputs(plan).toPandas()
+        out = (self._segment_outputs_driver(plan) if self._driver_fastpath(plan)
+               else self._segment_outputs(plan).toPandas())
         hits_pd = out[out["kind"] == _K_HIT]
         order = np.lexsort((hits_pd["doc_id"].to_numpy(), -hits_pd["score"].to_numpy()))
         page = hits_pd.iloc[order[req.offset:req.offset + req.k]]

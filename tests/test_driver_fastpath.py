@@ -1,0 +1,63 @@
+"""Driver fast path: queries whose total posting count (known exactly
+from the dictionary df) is page-scale score on the driver — no
+groupBy exchange, no Python-worker round trip. Results must be
+IDENTICAL to the distributed path (same _segment_search per segment)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from bobo_spark.build import BuildConfig, build_snapshot, delete_docs
+from bobo_spark.query import IndexReader, SearchRequest
+from bobo_spark.webgen import webpages
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_fast"))
+    build_snapshot(spark, webpages(spark, 900, 5), d,
+                   BuildConfig(docs_per_segment=200, block_size=32))
+    delete_docs(spark, d, [3, 7])
+    return IndexReader(spark, d)
+
+
+REQS = [
+    SearchRequest(query="ba be", mode="and", k=10, facets=("lang",)),
+    SearchRequest(query="ba ka vu", mode="or", k=10),
+    SearchRequest(query="ba be", mode="phrase", k=10),
+    SearchRequest(query="ka", mode="or", k=10, selections={"lang": ["en"]},
+                  facets=("ts_bucket",)),
+    SearchRequest(query="ba be", mode="or", k=5, explain=True),
+]
+
+
+def test_fastpath_equals_distributed(env):
+    reader = env
+    for req in REQS:
+        plan = reader.plan(req)
+        assert reader._driver_fastpath(plan), req  # small corpus: fast
+        fast = reader.search(req)
+        reader.DRIVER_POSTINGS_THRESHOLD = -1  # force distributed
+        try:
+            dist = reader.search(req)
+        finally:
+            del reader.DRIVER_POSTINGS_THRESHOLD  # back to class attr
+        assert fast.hits["doc_id"].tolist() == dist.hits["doc_id"].tolist()
+        assert fast.hits["score"].tolist() == dist.hits["score"].tolist()
+        assert fast.num_hits == dist.num_hits
+        assert set(fast.facets) == set(dist.facets)
+        for f in fast.facets:
+            pd.testing.assert_frame_equal(fast.facets[f], dist.facets[f])
+        if req.explain:
+            pd.testing.assert_frame_equal(fast.explanations,
+                                          dist.explanations)
+
+
+def test_fastpath_declines_postings_selections(env):
+    reader = env
+    # postings-mode selections carry sentinel lists whose df is not in
+    # the plan — the fast path must decline rather than guess
+    plan = reader.plan(SearchRequest(query="ba", mode="or", k=5))
+    plan["sel_lang_tids"] = [123]
+    assert not reader._driver_fastpath(plan)
