@@ -1129,11 +1129,12 @@ class IndexReader:
             found = self._terms_pd[self._terms_pd["term"].isin(words)]
         else:
             found = (self._terms.where(F.col("term").isin(words))
-                     .select("term", "term_id").toPandas())
+                     .select("term", "term_id", "df").toPandas())
         word_tid = dict.fromkeys(words, -1)
         word_tid.update(zip(found["term"], found["term_id"].astype(int)))
         return {"tree": tree, "word_tid": word_tid, "sections": tuple(sec_cfg),
-                "k": k, "offset": offset, "boost": float(boost)}
+                "k": k, "offset": offset, "boost": float(boost),
+                "total_df": int(found["df"].sum())}
 
     def _sections_table(self) -> DataFrame:
         if getattr(self, "_sections_df", None) is None:
@@ -1163,12 +1164,32 @@ class IndexReader:
             schema=OUT_SCHEMA
         )
 
+    def _section_outputs_pd(self, plan: dict) -> pd.DataFrame:
+        """Section outputs as pandas — driver fast path for page-scale
+        WINDOW-mode queries (geometry is metadata-only, so only the
+        term-filtered blocks move; regex mode needs the per-segment
+        boundary cogroup and stays distributed)."""
+        from .sections import segment_section_search
+
+        if (plan["sections"][0] == "window"
+                and plan["total_df"] <= self.DRIVER_POSTINGS_THRESHOLD):
+            tids = [t for t in plan["word_tid"].values() if t >= 0]
+            if not tids:
+                return _empty_out()
+            pdf = self._postings_full.where(
+                F.col("term_id").isin(tids)).toPandas()
+            outs = [segment_section_search(g, plan, None, self._deleted_bc)
+                    for _, g in pdf.groupby("segment")]
+            return (pd.concat(outs, ignore_index=True) if outs
+                    else _empty_out())
+        return self._section_outputs(plan).toPandas()
+
     def section_search(self, tree, k: int = 10, offset: int = 0,
                        boost: float = 1.0) -> SearchResult:
         """Constant-score section search (hits carry the number of
         matching sections in SearchResult.hits['n_sections'])."""
         plan = self._section_plan(tree, k, offset, boost)
-        out = self._section_outputs(plan).toPandas()
+        out = self._section_outputs_pd(plan)
         hits_pd = out[out["kind"] == _K_HIT].sort_values("doc_id")
         page = hits_pd.iloc[offset:offset + k]
         hits = page[["doc_id", "score"]].copy()

@@ -61,3 +61,23 @@ def test_fastpath_declines_postings_selections(env):
     plan = reader.plan(SearchRequest(query="ba", mode="or", k=5))
     plan["sel_lang_tids"] = [123]
     assert not reader._driver_fastpath(plan)
+
+
+def test_section_fastpath_equals_distributed(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_fast_sec"))
+    build_snapshot(spark, webpages(spark, 600, 4), d,
+                   BuildConfig(docs_per_segment=150, sections=("window", 8)))
+    reader = IndexReader(spark, d)
+    trees = [("and", ("term", "ba"), ("term", "be")),
+             ("phrase", "ba be"),
+             ("or", ("term", "ka"), ("and", ("term", "ba"),
+                                     ("not", ("term", "vu"))))]
+    for tree in trees:
+        fast = reader.section_search(tree, k=30)
+        reader.DRIVER_POSTINGS_THRESHOLD = -1
+        try:
+            dist = reader.section_search(tree, k=30)
+        finally:
+            del reader.DRIVER_POSTINGS_THRESHOLD
+        assert fast.num_hits == dist.num_hits, tree
+        pd.testing.assert_frame_equal(fast.hits, dist.hits)
