@@ -930,18 +930,33 @@ def build_snapshot(
                 ensure_pairs().where(~F.col("term").startswith("\x00"))
                 .groupBy("doc_id").agg(F.sum(TF).alias("doclen"))
             )
+        fwd_rows = docs_t.join(dl_df, "doc_id", "left").select(
+            "segment",
+            "doc_id",
+            F.coalesce("doclen", F.lit(0)).alias("doclen"),
+            "url",
+            "lang_ord",
+            "ts_ord",
+        )
+        nfp = max(8, spark.sparkContext.defaultParallelism)
+        dmin_f = snap.stats.get("doc_min")
+        dmax_f = snap.stats.get("doc_max")
+        span_f = (dmax_f - dmin_f + 1) if dmin_f is not None else None
+        if span_f and span_f <= 2 * max(1, snap.stats.get("new_docs", 0)):
+            # dense ids: arithmetic range partitioning via identity
+            # keys — repartitionByRange would evaluate the forward
+            # join + pseudo-run decode a second time just to sample
+            # boundaries (same trick as the postings text shuffle)
+            fkeys = _identity_partition_keys(spark, nfp)
+            fpart = F.floor((F.col("doc_id") - F.lit(dmin_f)) * F.lit(nfp)
+                            / F.lit(span_f)).cast("int")
+            fpk = F.element_at(F.array(*[F.lit(k) for k in fkeys]), fpart + 1)
+            fwd_rows = (fwd_rows.withColumn("_pk", fpk)
+                        .repartition(nfp, "_pk").drop("_pk"))
+        else:
+            fwd_rows = fwd_rows.repartitionByRange(nfp, "segment", "doc_id")
         (
-            docs_t.join(dl_df, "doc_id", "left")
-            .select(
-                "segment",
-                "doc_id",
-                F.coalesce("doclen", F.lit(0)).alias("doclen"),
-                "url",
-                "lang_ord",
-                "ts_ord",
-            )
-            .repartitionByRange(max(8, spark.sparkContext.defaultParallelism), "segment", "doc_id")
-            .sortWithinPartitions("segment", "doc_id")
+            fwd_rows.sortWithinPartitions("segment", "doc_id")
             .write.mode("overwrite")
             .parquet(forward_path)
         )
