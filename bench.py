@@ -96,6 +96,21 @@ def main() -> None:
     p50 = lat[len(lat) // 2]
     p95 = lat[int(len(lat) * 0.95)]
 
+    # ---- batch retrieval throughput (one job for the whole set) ----------
+    reqs = [
+        SearchRequest(
+            query=q["query"], mode=q.get("mode", "and"), k=10,
+            facets=("lang",) if "selections" in q or "ts_range" in q else (),
+            selections=q.get("selections", {}), ts_range=q.get("ts_range"),
+        )
+        for q in qs
+    ]
+    reader.search_many(reqs[:2])  # warm
+    t0 = time.time()
+    reader.search_many(reqs)
+    batch_sec = time.time() - t0
+    queries["queryset_batch"] = round(batch_sec, 3)
+
     # ---- headline sf-dir operators ---------------------------------------
     import __spark_entry__ as entrymod
 
@@ -130,6 +145,7 @@ def main() -> None:
         "build_docs_per_sec": round(docs_per_sec, 1),
         "query_p50_sec": round(p50, 4),
         "query_p95_sec": round(p95, 4),
+        "batch_queries_per_sec": round(len(qs) / batch_sec, 2),
         "n_queries": len(qs),
         "cores": cores,
         "index_stats": snap.stats,
