@@ -732,12 +732,23 @@ class IndexReader:
         self._deleted_bc = None
         self.deleted = np.zeros(0, dtype=np.int64)
         if del_paths:
-            self._deletes_df = self.spark.read.parquet(*del_paths).distinct()
+            # mergeSchema: a cumulative set can MIX legacy doc_id-only
+            # files with new (segment, doc_id) files — without it the
+            # scan picks one file's schema and (file-order dependent)
+            # either drops the segment column or nulls legacy rows,
+            # whose tombstones would then silently vanish from the
+            # per-segment broadcast
+            self._deletes_df = (self.spark.read.option("mergeSchema", "true")
+                                .parquet(*del_paths).distinct())
             dpd = self._deletes_df.toPandas()
-            if "segment" not in dpd.columns:  # legacy (doc_id-only) table
+            if "segment" not in dpd.columns or dpd["segment"].isna().any():
+                # legacy rows (no segment): resolve ALL ids via one
+                # broadcast semi-join against the forward table
                 dpd = (self._forward.select("segment", "doc_id")
-                       .join(F.broadcast(self._deletes_df.select("doc_id")),
-                             "doc_id").toPandas())
+                       .join(F.broadcast(self._deletes_df.select("doc_id")
+                                         .distinct()), "doc_id").toPandas())
+            # public convenience: sorted global tombstone ids (query
+            # paths use the per-segment broadcast, never this array)
             self.deleted = np.sort(dpd["doc_id"].to_numpy(np.int64))
             seg_map = {
                 int(s): np.sort(g["doc_id"].to_numpy(np.int64))
@@ -994,8 +1005,12 @@ class IndexReader:
         for f in req.facets:
             others = [x for x in preds if x != f] if req.expand_selection \
                 else list(preds)
-            if not others and self._deletes_df is None:
-                facets[f] = self.facet_counts(f)  # collectAll: zero scan
+            if not others:
+                # no cross-field selections: exactly facet_counts's
+                # contract (collectAll zero-scan, or the deletes-aware
+                # anti-joined count with the SAME full value universe —
+                # fully-deleted values appear with count 0 either way)
+                facets[f] = self.facet_counts(f)
                 continue
             cnt = (
                 hitset(others).groupBy(self._ORD_COL[f]).count().toPandas()
@@ -1090,7 +1105,16 @@ class IndexReader:
                 # facet sentinel terms carry no positions even in a
                 # positional index — they are dropped by the term-name
                 # filter below, so just skip their decode
-                g_pos = has_pos and len(_cat_bytes(g["pos_bytes"])) > 0
+                # emptiness probe must not concatenate the payload:
+                # zero-copy offset check on Arrow columns, short-
+                # circuiting any() on object columns
+                col = g["pos_bytes"]
+                if not has_pos:
+                    g_pos = False
+                elif isinstance(col.dtype, pd.ArrowDtype):
+                    g_pos = len(_cat_bytes(col)) > 0  # buffer view, no copy
+                else:
+                    g_pos = any(len(x) for x in col)
                 pos = _decode_positions(g, tf) if g_pos else None
                 starts = np.cumsum(tf) - tf
                 sel = np.flatnonzero(np.isin(docs, ids_arr))
@@ -1238,9 +1262,11 @@ class IndexReader:
                 out[i] = (self._matchall_search(r) if i in matchall
                           else next(rest_results))
             return out
-        # per-request prune flags are honored: block-max pruning is
-        # EXACT (docIDs, scores AND num_hits — property-tested), so
-        # batch mode keeps it for the same speedup as single queries
+        # batch mode trades per-query block-max pruning / conjunctive
+        # block skip for CROSS-QUERY decode sharing (each term decodes
+        # once per task no matter how many queries reference it) —
+        # results are identical either way since pruning is exact
+        # (property-tested); only the work-skipping strategy differs
         plans = [self.plan(r) for r in reqs]
         all_tids = sorted(
             {t["term_id"] for p in plans for t in p["terms"] if t["term_id"] >= 0}
@@ -1329,7 +1355,18 @@ class IndexReader:
             elif plan["facets"]:
                 facets = {f: pd.DataFrame({"value": [], "count": []})
                           for f in plan["facets"]}
-            results[i] = SearchResult(hits=hits, num_hits=num_hits, facets=facets)
+            explanations = None
+            if req.explain and len(sub):
+                ex = sub[sub["kind"] == _K_EXPL]
+                ex = ex[ex["doc_id"].isin(hits["doc_id"])]
+                explanations = (
+                    ex[["doc_id", "field", "score"]]
+                    .rename(columns={"field": "part", "score": "value"})
+                    .sort_values(["doc_id", "part"], ignore_index=True)
+                )
+            results[i] = SearchResult(hits=hits, num_hits=num_hits,
+                                      facets=facets,
+                                      explanations=explanations)
         return results
 
     def search_df(self, req: SearchRequest, with_url: bool = False) -> DataFrame:

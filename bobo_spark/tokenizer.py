@@ -74,7 +74,9 @@ def flat_token_codes(texts: pd.Series):
         codes = dictarr.indices.to_numpy().astype(np.int64)
         uniq = dictarr.dictionary.to_numpy(zero_copy_only=False)
         return codes, uniq, doclens
-    toks = tokenize_batch(texts)
+    # nulls tokenize as empty on BOTH paths (the Arrow path fill_nulls
+    # above; .str.findall would return NaN for None rows)
+    toks = tokenize_batch(texts.fillna(""))
     doclens = toks.map(len).to_numpy(dtype=np.int64)
     if int(doclens.sum()) == 0:
         return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=object),

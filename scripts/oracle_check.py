@@ -104,7 +104,11 @@ def main() -> int:
             n_fail += 1
             results[name] = {"err": f"{type(ex).__name__}: {ex}"}
             print(f"ERR  {name}: {type(ex).__name__}: {ex}")
-    print(json.dumps({"checked": len(names), "failed": n_fail}))
+    summary = {"checked": len(names), "failed": n_fail, "results": results}
+    with open("/tmp/oracle_check_results.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({"checked": len(names), "failed": n_fail,
+                      "detail": "/tmp/oracle_check_results.json"}))
     return 1 if n_fail else 0
 
 

@@ -166,3 +166,43 @@ def test_search_many_excludes_deleted(env):
         assert b.hits["score"].tolist() == s.hits["score"].tolist()
         assert b.num_hits == s.num_hits
         assert not set(victims) & set(b.hits["doc_id"])
+
+
+def test_mixed_format_delete_tables(spark, tmp_path_factory):
+    """A cumulative delete set can mix a pre-r4 legacy file (doc_id
+    only) with per-segment files — the reader must merge schemas and
+    resolve legacy rows' segments via the forward table instead of
+    silently dropping them from the broadcast."""
+    from bobo_spark.catalog import IndexCatalog
+
+    d = str(tmp_path_factory.mktemp("idx_del_mixed"))
+    build_snapshot(spark, webpages(spark, 300, 3), d,
+                   BuildConfig(docs_per_segment=100))
+    delete_docs(spark, d, [5])  # new (segment, doc_id) format
+    cat = IndexCatalog(d)
+    snap = cat.latest()
+    legacy = f"{d}/deletes/legacy"  # what a pre-r4 snapshot wrote
+    spark.createDataFrame([(11,), (205,)], "doc_id long") \
+        .coalesce(1).write.parquet(legacy)
+    snap.tables["deletes"] = snap.tables["deletes"] + [legacy]
+    snap.stats["n_deleted"] = 3
+    cat.update_snapshot(snap)
+    r = IndexReader(spark, d)
+    assert set(r.deleted) == {5, 11, 205}
+    assert sum(a.size for a in r._deleted_bc.value.values()) == 3
+    res = r.search(SearchRequest(query="ba", mode="or", k=10**6))
+    assert not {5, 11, 205} & set(res.hits["doc_id"])
+    ma = r.search(SearchRequest(query=None, k=10**6))
+    assert ma.num_hits == 297
+    assert not {5, 11, 205} & set(ma.hits["doc_id"])
+
+
+def test_matchall_facets_list_fully_deleted_values(env):
+    """MatchAll with a facet and tombstones routes through
+    facet_counts — the value universe (incl. 0-count fully-deleted
+    values) must match the no-selection collectAll contract."""
+    spark, d, docs, before, after, victims = env
+    ma = after.search(SearchRequest(query=None, k=5, facets=("lang",)))
+    fc = after.facet_counts("lang")
+    assert ma.facets["lang"]["value"].tolist() == fc["value"].tolist()
+    assert ma.facets["lang"]["count"].tolist() == fc["count"].tolist()

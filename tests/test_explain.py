@@ -74,3 +74,14 @@ def test_explanations_phrase(reader):
 def test_explain_off_by_default(reader):
     res = reader.search(SearchRequest(query="ba be", mode="or", k=5))
     assert res.explanations is None
+
+
+def test_batch_explanations_match_single(reader):
+    reqs = [SearchRequest(query="ba be", mode="or", k=5, explain=True),
+            SearchRequest(query="ba be", mode="and", k=5)]
+    batch = reader.search_many(reqs)
+    single = reader.search(reqs[0])
+    import pandas as pd
+    pd.testing.assert_frame_equal(batch[0].explanations,
+                                  single.explanations)
+    assert batch[1].explanations is None
