@@ -367,6 +367,20 @@ def _sentinel_stats(pdf: pd.DataFrame) -> list[pd.DataFrame]:
     return out
 
 
+def _distinct_pair_codes(rows: np.ndarray, codes: np.ndarray,
+                         bc: int, bd: int) -> np.ndarray:
+    """``codes`` of the distinct (row, code) pairs — packed-key unique
+    when the combined ranges fit 63 bits, structured-dtype unique
+    beyond (the same width guard as term_freq_frame; an unguarded
+    ``rows << bc`` would silently wrap and corrupt df counts)."""
+    if bc + bd <= 63:
+        dk = np.unique((rows << bc) | codes)
+        return (dk & ((1 << bc) - 1)).astype(np.int64)
+    pair = np.empty(rows.size, dtype=[("r", np.int64), ("c", np.int64)])
+    pair["r"], pair["c"] = rows, codes
+    return np.unique(pair)["c"].astype(np.int64)
+
+
 def _term_stats_partial(batches):
     """Pass 1 of the segment-local pipeline: per-batch (term, df, cf)
     partials (text terms + facet sentinels). Map-side pre-aggregation:
@@ -385,9 +399,9 @@ def _term_stats_partial(batches):
         if len(uniq):
             cf_ = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
             bc = max(len(uniq) - 1, 0).bit_length()
+            bd = max(len(pdf) - 1, 0).bit_length()
             rows = np.repeat(np.arange(len(pdf), dtype=np.int64), doclens)
-            dk = np.unique((rows << bc) | codes)
-            df_ = np.bincount((dk & ((1 << bc) - 1)).astype(np.int64),
+            df_ = np.bincount(_distinct_pair_codes(rows, codes, bc, bd),
                               minlength=len(uniq)).astype(np.int64)
         else:
             cf_ = df_ = np.zeros(0, dtype=np.int64)

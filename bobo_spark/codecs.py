@@ -125,15 +125,24 @@ def binary_array(buf, offsets: np.ndarray):
     at the Spark boundary."""
     n = len(offsets) - 1
     # Spark's Arrow bridge maps BinaryType to 32-bit-offset binary —
-    # fine: a build partition's stream buffers are MBs, not GBs (the
-    # partitioner bounds rows per partition)
+    # fine for the common case: a build partition's stream buffers are
+    # MBs, not GBs (the partitioner bounds rows per partition). A
+    # partition whose buffer exceeds 2 GiB degrades to large_binary
+    # (64-bit offsets; binary_parts round-trips it) instead of
+    # aborting — the 32-bit limit then only bites where Spark's
+    # serializer truly requires it, at the mapInPandas boundary.
     if int(offsets[-1]) >= (1 << 31):
-        raise ValueError("binary column buffer exceeds 2 GiB — lower "
-                         "rows_per_posting_partition")
-    arr = pa.BinaryArray.from_buffers(
-        pa.binary(), n,
-        [None, pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int32)),
-         pa.py_buffer(buf)])
+        arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None,
+             pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int64)),
+             pa.py_buffer(buf)])
+    else:
+        arr = pa.BinaryArray.from_buffers(
+            pa.binary(), n,
+            [None,
+             pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int32)),
+             pa.py_buffer(buf)])
     return pd.arrays.ArrowExtensionArray(arr)
 
 

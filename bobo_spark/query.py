@@ -277,6 +277,8 @@ def _phrase_filter(groups: dict, decoded: dict, phrase_ids: list[int],
 def _sorted_member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
     """Boolean membership of ``vals`` in a SORTED int64 array — one
     searchsorted, no hash set (np.isin) materialization."""
+    if sorted_arr.size == 0:
+        return np.zeros(vals.shape, dtype=bool)
     pos = np.searchsorted(sorted_arr, vals)
     return (pos < sorted_arr.size) & \
         (sorted_arr[np.minimum(pos, sorted_arr.size - 1)] == vals)
@@ -1356,7 +1358,9 @@ class IndexReader:
                 facets = {f: pd.DataFrame({"value": [], "count": []})
                           for f in plan["facets"]}
             explanations = None
-            if req.explain and len(sub):
+            if req.explain:
+                # same contract as search(): an empty result still
+                # yields an empty (doc_id, part, value) frame
                 ex = sub[sub["kind"] == _K_EXPL]
                 ex = ex[ex["doc_id"].isin(hits["doc_id"])]
                 explanations = (

@@ -75,3 +75,14 @@ def test_batch_phrase_and_matchall(reader):
         assert got.hits["doc_id"].tolist() == single.hits["doc_id"].tolist()
         assert got.hits["score"].tolist() == single.hits["score"].tolist()
         assert got.num_hits == single.num_hits
+
+
+def test_batch_explain_empty_result_matches_single(reader):
+    # ADVICE r4: explain=True on a zero-hit query must return an empty
+    # (doc_id, part, value) frame from BOTH paths, not None from batch
+    req = SearchRequest(query=["zzznothing"], mode="and", k=5, explain=True)
+    single = reader.search(req)
+    batch = reader.search_many([req])[0]
+    assert single.explanations is not None and len(single.explanations) == 0
+    assert batch.explanations is not None and len(batch.explanations) == 0
+    assert list(batch.explanations.columns) == list(single.explanations.columns)
