@@ -897,6 +897,48 @@ def _q_browse_deletes(spark, sf_dir):
         "doc_id", F.round("score", 4).alias("score"))
 
 
+def _q_merge_after_deletes(spark, sf_dir):
+    """Segment merge / tombstone compaction ≙ the reference build's
+    forceMerge(1) (index/BoboIndexer.java:73-86) + Lucene delete
+    reclamation: delete docs 1, 2, 7, then merge_snapshot — the
+    compacted index answers with RECOMPUTED stats (df/avgdl over
+    survivors), the exact point where bm25_browse_deletes' stale-stats
+    Lucene semantics are reclaimed."""
+    from bobo_spark.build import delete_docs
+    from bobo_spark.merge import merge_snapshot
+
+    key = sf_dir.rstrip("/")
+    idx_dir = f"/tmp/bobo_spark_merge5_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+    docs = _load(spark, sf_dir, "documents")
+    n = docs.count()
+    reader = None
+    try:
+        reader = IndexReader(spark, idx_dir)
+        if (reader.n_docs != n - 3
+                or reader.snap.stats.get("merge_of") is None):
+            reader = None
+    except Exception:
+        reader = None
+    if reader is None:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        adapted = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + (F.col("doc_id") * 37) % (180 * 86400)
+            ).alias("warc_ts"),
+            F.col("lang"), F.col("text"))
+        build_snapshot(spark, adapted, idx_dir,
+                       BuildConfig(docs_per_segment=max(250, n // 8)))
+        delete_docs(spark, idx_dir, [1, 2, 7])
+        merge_snapshot(spark, idx_dir)
+        reader = IndexReader(spark, idx_dir)
+    res = reader.search(SearchRequest(query="data row", mode="or", k=15))
+    rows = [(int(d), float(s)) for d, s in zip(res.hits["doc_id"], res.hits["score"])]
+    return spark.createDataFrame(rows, "doc_id long, score double").select(
+        "doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_incremental_terms(spark, sf_dir):
     """Two-batch INCREMENTAL build (snapshot 0 then append snapshot 1),
     then term stats from the merged dictionary — exercises snapshot
@@ -955,6 +997,8 @@ def queries() -> dict[str, _T]:
         "bm25_topk_rare_sel": _q_bm25_rare_sel,
         "bm25_recency_boost": _q_bm25_recency,
         "bm25_browse_deletes": _q_browse_deletes,
+        # --- segment merge / tombstone compaction (NEW in r5)
+        "merge_after_deletes": _q_merge_after_deletes,
         # --- sections / term vectors (new in r3, first driver rows here)
         "section_search_bool": _q_section_bool,
         "section_search_phrase": _q_section_phrase,
@@ -988,28 +1032,30 @@ def queries() -> dict[str, _T]:
         "facet_buckets_priority": _q_facet_buckets,
         "facet_filtered_range": _q_filtered_range,
         "facet_multirange_toklen": _q_multirange,
-        "facet_geo_distance": _q_facet_geo_distance,
         "facet_attributes": _q_facet_attributes,
         "facet_dynamic_timerange": _q_facet_dyntime,
-        # --- LLM-pipeline scale paths
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        "token_counts": _q_token_counts,
-        "simsearch_topk_cosine": _q_simsearch,
-        "simsearch_neardup_lsh": _q_sim_neardup_lsh,
-        "simsearch_lsh_topk_indexed": _q_simsearch_lsh_indexed,
-        "simsearch_ivf_topk": _q_simsearch_ivf,
-        "multimodal_features": _q_multimodal,
-        # ================= driver window ends here (entry 50) =========
-        # Zero-churn entries below were all driver-green in r03 and are
-        # semantically covered by a kept sibling (oracle twins) or are
-        # plan-asserted pure-JVM expressions. Ledger: WINDOW.md.
-        "map_reduce_hook": _q_map_reduce,
-        "sessionize_events": _q_sessionize,
+        # --- r5 round-robin rotations back IN (evidence was 1 round old)
         "facet_histogram_nchars": _q_facet_histogram,
         "facet_geo_box": _q_facet_geo_box,
         "browse_facet_term_query": _q_browse_facet_term_q,
+        "map_reduce_hook": _q_map_reduce,
+        # --- LLM-pipeline scale paths
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "token_counts": _q_token_counts,
+        "simsearch_neardup_lsh": _q_sim_neardup_lsh,
+        "simsearch_lsh_topk_indexed": _q_simsearch_lsh_indexed,
+        "simsearch_ivf_topk": _q_simsearch_ivf,
+        # ================= driver window ends here (entry 50) =========
+        # Zero-churn entries below are driver-green in r03 or r04 (none
+        # older than one round) and are semantically covered by a kept
+        # sibling (oracle twins) or are plan-asserted pure-JVM
+        # expressions. Ledger: WINDOW.md.
+        "facet_geo_distance": _q_facet_geo_distance,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "simsearch_topk_cosine": _q_simsearch,
+        "multimodal_features": _q_multimodal,
+        "sessionize_events": _q_sessionize,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "minhash_signatures": _q_minhash_sigs,
         "fingerprint_minshingle": _q_fingerprint,
@@ -1730,5 +1776,28 @@ t AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
       FROM tok GROUP BY 1)
 SELECT term, df::BIGINT AS df, cf::BIGINT AS cf
 FROM t ORDER BY df DESC, term LIMIT 20
+""",
+        # merge reclaims deletes: every statistic (n, avgdl, df) is
+        # recomputed over the SURVIVING docs — contrast with
+        # bm25_browse_deletes, whose stats stay stale by Lucene
+        # semantics until exactly this merge
+        "merge_after_deletes": """
+WITH docs AS (SELECT * FROM documents WHERE doc_id NOT IN (1, 2, 7)),
+tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM docs),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM docs)::DOUBLE AS n,
+              (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM docs)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ('data', 'row') GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), st
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM sc
+ORDER BY score DESC, doc_id
+LIMIT 15
 """,
     }
