@@ -119,3 +119,48 @@ def test_flat_token_codes_paths_agree():
     want2 = [tokenize(t) for t in uni]
     assert [u2[c] for c in c2] == [t for w in want2 for t in w]
     assert d2.tolist() == [len(w) for w in want2]
+
+
+def test_extract_arrow_path_byte_identical_to_py():
+    """The Arrow C++ extractor (r5) must be byte-identical to the
+    per-row bytes-regex pipeline on every valid-UTF-8 shape: tags at
+    edges, mixed whitespace runs, non-ASCII text, empty docs."""
+    from bobo_spark.extract import _extract_series_py, extract_series
+
+    cases = pd.Series([
+        b"<html><body>hello world</body></html>",
+        b"  <p>a</p>\t\r\n<b>b</b>\x0b\x0c end  ",
+        b"no tags at all",
+        b"",
+        b"<only><tags></tags></only>",
+        "<p>café über straße</p> 中文 ok".encode(),
+        b"<a href='x>y'>weird</a> <",  # '>' inside attr closes the tag
+        b"tail<",
+    ])
+    got = extract_series(cases)
+    want = _extract_series_py(cases)
+    assert got.tolist() == want.tolist()
+
+
+def test_extract_invalid_utf8_falls_back_strict():
+    """Invalid UTF-8 OUTSIDE tags raises the strict decode error (via
+    the pandas fallback); invalid bytes INSIDE tags are stripped by
+    both pipelines and succeed."""
+    import pytest
+
+    from bobo_spark.extract import extract_series
+
+    ok_inside_tag = pd.Series([b"<\xffbad-tag>clean text"])
+    assert extract_series(ok_inside_tag).tolist() == ["clean text"]
+    bad = pd.Series([b"broken \xff text"])
+    with pytest.raises(UnicodeDecodeError):
+        extract_series(bad)
+
+
+def test_extract_no_per_row_lambda_on_hot_path():
+    """Plan-level guard: the hot path returns an Arrow-backed Series
+    (no per-value Python str objects were materialized)."""
+    from bobo_spark.extract import extract_series
+
+    out = extract_series(pd.Series([b"<p>x</p>"] * 100))
+    assert isinstance(out.dtype, pd.ArrowDtype)
