@@ -310,11 +310,11 @@ def _postings_doc_mask(cand: np.ndarray, groups: dict, tids: list[int],
     intersection, ≙ OR of TermDocIdSets)."""
     doc_lists = []
     for tid in tids:
+        if shared_decode is not None and tid in shared_decode:
+            doc_lists.append(shared_decode[tid][0])
+            continue
         g = groups.get(tid)
         if g is not None and len(g):
-            if shared_decode is not None and tid in shared_decode:
-                doc_lists.append(shared_decode[tid][0])
-                continue
             dec = _decode_term_blocks(g)
             if shared_decode is not None:
                 shared_decode[tid] = dec
@@ -397,6 +397,44 @@ def _blockmax_prune(groups: dict, present: list, k: int, avgdl: float,
         out[tid] = groups[tid][keep]
         keeps[tid] = keep
     return out, keeps
+
+
+def _batch_group_decode(pdf: pd.DataFrame):
+    """Batch-mode per-task preparation in ONE pass: a single
+    (term_id, first_doc) lexsort replaces the per-term
+    groupby+sort_values+re-concat, and every term's five streams
+    decode through ONE ``vb_decode`` per stream type (plus one
+    rebased docID pass) instead of five small decodes per term — the
+    per-call overhead dominated the decode profile at ~170 terms per
+    task, and the decode is the memory-bound part that contends
+    across workers. Returns ``(shared_decode, groups_all)``: the
+    decode cache (contents identical to per-term
+    ``_decode_term_blocks``) plus per-term block-row frames (cheap
+    row slices of the one sorted frame; only phrase verification
+    dereferences them)."""
+    order = np.lexsort((pdf["first_doc"].to_numpy(np.int64),
+                        pdf["term_id"].to_numpy(np.int64)))
+    b = pdf.iloc[order]
+    tid_arr = b["term_id"].to_numpy(np.int64)
+    bnd = np.flatnonzero(np.diff(tid_arr)) + 1
+    starts = np.concatenate(([0], bnd))
+    ends = np.concatenate((bnd, [len(b)]))
+    nds = b["n_docs"].to_numpy(np.int64)
+    docs = _decode_docs(b)  # per-block rebase is term-agnostic
+    tf = vb_decode(_cat_bytes(b["tf_bytes"])).astype(np.int64)
+    dl = vb_decode(_cat_bytes(b["dl_bytes"])).astype(np.int64)
+    lang = vb_decode(_cat_bytes(b["lang_bytes"])).astype(np.int64)
+    ts = vb_decode(_cat_bytes(b["ts_bytes"])).astype(np.int64)
+    el = np.concatenate(([0], np.cumsum(nds)))
+    shared: dict = {}
+    groups_all: dict = {}
+    for s0, e0 in zip(starts, ends):
+        tid = int(tid_arr[s0])
+        es, ee = el[s0], el[e0]
+        shared[tid] = (docs[es:ee], tf[es:ee], dl[es:ee],
+                       lang[es:ee], ts[es:ee])
+        groups_all[tid] = b.iloc[s0:e0]
+    return shared, groups_all
 
 
 def _segment_search(pdf: pd.DataFrame, plan: dict,
@@ -488,13 +526,13 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
     decoded = {}
     for t in present:
         tid = t["term_id"]
+        if shared_decode is not None and tid in shared_decode:
+            decoded[tid] = shared_decode[tid]
+            continue
         g = groups[tid]
         if len(g) == 0:
             if conj:
                 return _empty_out()
-            continue
-        if shared_decode is not None and tid in shared_decode:
-            decoded[tid] = shared_decode[tid]
             continue
         pre = None
         if tid in doc_cache:
@@ -1336,10 +1374,10 @@ class IndexReader:
                 # queries reference it — the measured per-task profile
                 # was ~40% repeated decode + ~30% per-query regrouping
                 outs = []
-                groups_all = {tid: g.sort_values("first_doc")
-                              for tid, g in pdf.groupby("term_id")}
+                # one sort + one bulk decode per task: every query
+                # then scores against cache hits only
+                shared, groups_all = _batch_group_decode(pdf)
                 seg_deleted = _segment_deleted(deleted_bc, pdf)
-                shared: dict = {}
                 for qid, plan in runnable_plans:
                     tids = [t["term_id"] for t in plan["terms"] if t["term_id"] >= 0]
                     tids += plan.get("sel_lang_tids", []) + plan.get("sel_ts_tids", [])
@@ -1363,54 +1401,116 @@ class IndexReader:
                    if any(p["mode"] == "phrase" for _, p in runnable_plans)
                    else self._postings)
             blocks = src.where(F.col("term_id").isin(all_tids))
+            # pin the exchange width: left to AQE, the small term-
+            # filtered shuffle coalesces to a handful of fat partitions
+            # (measured 15 partitions for 64 segments at 16 cores —
+            # idle cores + ragged last wave in the Python stage). A
+            # user repartition on the grouping key is reused by the
+            # groupBy (no second exchange) and is never coalesced.
+            n_seg = self.snap.stats.get("n_segments") or 0
+            npart = max(2 * self.spark.sparkContext.defaultParallelism,
+                        int(self.spark.conf.get(
+                            "spark.sql.shuffle.partitions", "32")))
+            if n_seg:
+                npart = min(npart, n_seg)
+            blocks = blocks.repartition(npart, "segment")
             if _ARROW_UDF:
-                out = blocks.groupBy("segment").applyInArrow(
+                grouped = blocks.groupBy("segment").applyInArrow(
                     lambda tbl: _to_arrow_out(run_segment(_table_to_pdf(tbl))),
-                    schema=out_schema
-                ).toPandas()
+                    schema=out_schema)
             else:
-                out = blocks.groupBy("segment").applyInPandas(
-                    run_segment, schema=out_schema
-                ).toPandas()
+                grouped = blocks.groupBy("segment").applyInPandas(
+                    run_segment, schema=out_schema)
+            # AQE's shuffle materialization splits this into two jobs
+            # with a barrier between scan and Python stage — a fixed
+            # ~0.6 s that caps batch scaling (it is a larger fraction
+            # of the fast leg). The exchange width is already pinned
+            # by the explicit repartition, so adaptivity buys nothing
+            # here: run the batch action non-adaptive, restore after.
+            conf = self.spark.conf
+            prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+            try:
+                conf.set("spark.sql.adaptive.enabled", "false")
+                out = grouped.toPandas()
+            finally:
+                conf.set("spark.sql.adaptive.enabled", prev_aqe)
         else:
             out = pd.DataFrame(columns=["kind", "doc_id", "score", "field",
                                         "ordinal", "count", "qid"])
+        # ---- driver merge, VECTORIZED by qid: every per-query
+        # quantity comes from ONE grouped pass over the collected
+        # frame (the per-query boolean-mask loop this replaces scanned
+        # the whole frame once per query per output kind — measured as
+        # the driver-side serial tax capping batch scaling)
+        kinds = out["kind"].to_numpy() if len(out) else np.zeros(0)
+        # per-query page: one global (qid, -score, doc_id) sort, then
+        # a rank-window mask with per-row offset/k lookups
+        hits_all = out[kinds == _K_HIT] if len(out) else out
+        empty_hits = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                   "score": pd.Series([], dtype="float64")})
+        pages: dict[int, pd.DataFrame] = {}
+        page_pairs = None
+        if len(hits_all):
+            order = np.lexsort((hits_all["doc_id"].to_numpy(),
+                                -hits_all["score"].to_numpy(),
+                                hits_all["qid"].to_numpy()))
+            h = hits_all.iloc[order]
+            rank = h.groupby("qid").cumcount().to_numpy()
+            off_by_q = np.array([r.offset for r in reqs], dtype=np.int64)
+            k_by_q = np.array([r.k for r in reqs], dtype=np.int64)
+            qv = h["qid"].to_numpy(np.int64)
+            mask = (rank >= off_by_q[qv]) & (rank < off_by_q[qv] + k_by_q[qv])
+            page_all = h[mask]
+            pages = {int(q): g[["doc_id", "score"]].reset_index(drop=True)
+                     for q, g in page_all.groupby("qid")}
+            page_pairs = page_all[["qid", "doc_id"]]
+        nh = (out[kinds == _K_STATS].groupby("qid")["count"].sum().to_dict()
+              if len(out) else {})
+        # facets: one (qid, field, ordinal) aggregation, one dictionary
+        # merge PER FIELD (not per query), then split
+        fc_by_field: dict[str, dict[int, pd.DataFrame]] = {}
+        want_fields = {f for p in plans for f in p["facets"]}
+        if want_fields and len(out):
+            fc_all = (out[kinds == _K_FACET]
+                      .groupby(["qid", "field", "ordinal"],
+                               as_index=False)["count"].sum())
+            for f in want_fields:
+                d = self.dicts[FACET_FIELDS[f]][["ordinal", "value"]]
+                part = fc_all[fc_all["field"] == f].merge(d, on="ordinal")
+                part = part.sort_values(["qid", "count", "value"],
+                                        ascending=[True, False, True])
+                fc_by_field[f] = {int(q): g for q, g in part.groupby("qid")}
+        empty_facet = pd.DataFrame({"value": [], "count": []})
+        # explanations: restrict to page docs with ONE (qid, doc_id)
+        # merge instead of per-query isin scans
+        ex_by_qid: dict[int, pd.DataFrame] = {}
+        if any(r.explain for r in reqs) and len(out):
+            ex_all = out[kinds == _K_EXPL]
+            if page_pairs is not None and len(ex_all):
+                exm = ex_all.merge(page_pairs, on=["qid", "doc_id"])
+                ex_by_qid = {int(q): g for q, g in exm.groupby("qid")}
+        empty_expl = (pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                    "part": pd.Series([], dtype="object"),
+                                    "value": pd.Series([], dtype="float64")}))
         for i, (req, plan) in enumerate(zip(reqs, plans)):
-            sub = out[out["qid"] == i] if len(out) else out
-            hits_pd = sub[sub["kind"] == _K_HIT] if len(sub) else sub
-            if len(hits_pd):
-                order = np.lexsort((hits_pd["doc_id"].to_numpy(),
-                                    -hits_pd["score"].to_numpy()))
-                page = hits_pd.iloc[order[req.offset:req.offset + req.k]]
-                hits = page[["doc_id", "score"]].reset_index(drop=True)
-            else:
-                hits = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                     "score": pd.Series([], dtype="float64")})
-            num_hits = int(sub[sub["kind"] == _K_STATS]["count"].sum()) if len(sub) else 0
+            hits = pages.get(i, empty_hits)
             facets = {}
-            if plan["facets"] and len(sub):
-                fc = (sub[sub["kind"] == _K_FACET]
-                      .groupby(["field", "ordinal"], as_index=False)["count"].sum())
-                for f in plan["facets"]:
-                    d = self.dicts[FACET_FIELDS[f]][["ordinal", "value"]]
-                    part = fc[fc["field"] == f].merge(d, on="ordinal")
-                    part = part.sort_values(["count", "value"], ascending=[False, True])
-                    facets[f] = part[["value", "count"]].reset_index(drop=True)
-            elif plan["facets"]:
-                facets = {f: pd.DataFrame({"value": [], "count": []})
-                          for f in plan["facets"]}
+            for f in plan["facets"]:
+                part = fc_by_field.get(f, {}).get(i)
+                facets[f] = (part[["value", "count"]].reset_index(drop=True)
+                             if part is not None else empty_facet.copy())
             explanations = None
             if req.explain:
                 # same contract as search(): an empty result still
                 # yields an empty (doc_id, part, value) frame
-                ex = sub[sub["kind"] == _K_EXPL]
-                ex = ex[ex["doc_id"].isin(hits["doc_id"])]
+                ex = ex_by_qid.get(i)
                 explanations = (
                     ex[["doc_id", "field", "score"]]
                     .rename(columns={"field": "part", "score": "value"})
                     .sort_values(["doc_id", "part"], ignore_index=True)
+                    if ex is not None else empty_expl.copy()
                 )
-            results[i] = SearchResult(hits=hits, num_hits=num_hits,
+            results[i] = SearchResult(hits=hits, num_hits=int(nh.get(i, 0)),
                                       facets=facets,
                                       explanations=explanations)
         return results
