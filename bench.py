@@ -111,6 +111,15 @@ def main() -> None:
     batch_sec = time.time() - t0
     queries["queryset_batch"] = round(batch_sec, 3)
 
+    # ---- segment merge / tombstone compaction (r5) -----------------------
+    from bobo_spark.build import delete_docs
+    from bobo_spark.merge import merge_snapshot
+
+    delete_docs(spark, idx_dir, list(range(0, n_docs, 1000)))  # 0.1% dead
+    t0 = time.time()
+    merge_snapshot(spark, idx_dir)
+    queries["merge_snapshot"] = round(time.time() - t0, 3)
+
     # ---- headline sf-dir operators ---------------------------------------
     import __spark_entry__ as entrymod
 

@@ -62,7 +62,7 @@ sc AS (
 )
 SELECT doc_id, round(score, 4) AS score
 FROM sc {langj}
-ORDER BY score DESC, doc_id
+ORDER BY sc.score DESC, doc_id
 LIMIT {k}
 """
 
@@ -108,6 +108,48 @@ def main() -> int:
 
     glob_src = src + "/*.parquet"
 
+    def run_phrase(name, words, k=10):
+        # exact-consecutive phrase oracle, same shape as the driver
+        # entry's _bm25_phrase_sql (ptf + per-token idf sum)
+        m = len(words)
+        match = " AND ".join(f"toks[i + {j}] = '{w}'"
+                             for j, w in enumerate(words))
+        idfs = " + ".join(
+            f"ln(1 + (st.n - d{j}.df + 0.5) / (d{j}.df + 0.5))"
+            for j in range(m))
+        df_ctes = ",\n".join(
+            f"d{j} AS (SELECT count(*)::DOUBLE AS df FROM tok "
+            f"WHERE list_contains(toks, '{w}'))"
+            for j, w in enumerate(words))
+        joins = " ".join(f", d{j}" for j in range(m))
+        sql = f"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM '{glob_src}'),
+st AS (SELECT (SELECT count(*) FROM '{glob_src}')::DOUBLE AS n,
+              (SELECT sum(len(toks)) FROM tok)::DOUBLE
+                / (SELECT count(*) FROM '{glob_src}') AS avgdl),
+{df_ctes},
+p AS (SELECT doc_id, len(toks)::DOUBLE AS dl,
+             len(list_filter(range(1, len(toks) - {m} + 2),
+                             i -> {match}))::DOUBLE AS ptf
+      FROM tok),
+sc AS (SELECT doc_id,
+              ({idfs}) * (ptf * 2.2) / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+                AS score
+       FROM p, st{joins} WHERE ptf > 0)
+SELECT doc_id, round(score, 4) AS score
+FROM sc
+-- order on the UNROUNDED score (the engine's order); rounding is
+-- display-only — at 2M docs rounded ties at the k boundary are common
+ORDER BY sc.score DESC, doc_id
+LIMIT {k}
+"""
+        res = reader.search(SearchRequest(query=words, mode="phrase", k=k))
+        got = pd.DataFrame({
+            "doc_id": res.hits["doc_id"].astype("int64"),
+            "score": res.hits["score"].round(4)})
+        want = con.sql(sql).df().astype({"doc_id": "int64"})
+        check(name, got, want)
+
     def run_bm25(name, terms, mode, k=10, lang=None):
         res = reader.search(SearchRequest(
             query=terms, mode=mode, k=k,
@@ -120,19 +162,22 @@ def main() -> int:
         check(name, got, want)
 
     t0 = time.time()
-    run_bm25("bm25_and_2m", ["spark", "join"], "and")
-    run_bm25("bm25_or_2m", ["data", "row"], "or")
-    run_bm25("bm25_phrase_2m", ["data", "slow"], "phrase")
-    run_bm25("bm25_lang_sel_2m", ["index", "scan"], "or", lang="de")
+    # terms chosen from the webgen syllable vocabulary with verified
+    # co-occurrence at 2M docs (a query where BOTH engines return zero
+    # rows would be a vacuous check)
+    run_bm25("bm25_and_2m", ["ba", "da"], "and")
+    run_bm25("bm25_or_2m", ["ma", "ka"], "or")
+    run_phrase("bm25_phrase_2m", ["be", "ba"])
+    run_bm25("bm25_lang_sel_2m", ["bi", "bo"], "or", lang="de")
 
     # facet counts over a disjunctive hit set
-    res = reader.search(SearchRequest(query=["merge", "scan"], mode="or",
+    res = reader.search(SearchRequest(query=["bo", "bu"], mode="or",
                                       k=10, facets=("lang",)))
     got = (res.facets["lang"].astype({"count": "int64"})
            .reset_index(drop=True))
     want = con.sql(f"""
 WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM '{glob_src}'),
-hits AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge','scan'))
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('bo','bu'))
 SELECT lang AS value, count(*)::BIGINT AS count
 FROM '{glob_src}' JOIN hits USING (doc_id)
 GROUP BY 1 ORDER BY count DESC, value
