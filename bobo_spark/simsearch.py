@@ -225,15 +225,23 @@ def build_ivf_index(df: DataFrame, out_dir: str, dim: int,
                     iters: int = 10, seed: int = 7,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> None:
     """Materialize an IVF ANN index: k-means centroids trained on a
-    deterministic sample (lowest ``sample`` ids) driver-side, vectors
-    written PARTITIONED BY their nearest-centroid cell, centroids
-    pinned in a meta sidecar. A query then reads only its nprobe
-    closest cells — partition pruning does the skipping, exactly like
-    the LSH index but with data-adaptive regions."""
+    deterministic sample driver-side, vectors written PARTITIONED BY
+    their nearest-centroid cell, centroids pinned in a meta sidecar.
+    A query then reads only its nprobe closest cells — partition
+    pruning does the skipping, exactly like the LSH index but with
+    data-adaptive regions.
+
+    The training sample is the ``sample`` lowest rows by
+    ``xxhash64(id)`` — as deterministic as a lowest-ids sample (the
+    exact-oracle requirement) but id-order-unbiased, so time-ordered
+    or clustered id spaces don't skew the centroids; executes as one
+    TakeOrdered (scan + per-partition top-N), scale-safe."""
     import json
     import os
 
-    samp = (df.orderBy(id_col).limit(sample)
+    samp = (df.orderBy(F.xxhash64(F.col(id_col).cast("string")),
+                       F.col(id_col))
+            .limit(sample)
             .select(vec_col).toPandas()[vec_col])
     cent = kmeans_centroids(np.array([np.asarray(x, dtype=np.float64)
                                       for x in samp]), n_centroids, iters, seed)
