@@ -226,8 +226,16 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
         snap.stats["merge_of"] = parent.snapshot_id
         cat.update_snapshot(snap)
     sid = snap.snapshot_id
+    import time as _time
+    _stage_t = [_time.time()]
 
     def mark(stage: str) -> None:
+        # same per-stage wall-time profile the build records — the
+        # raw material for merge scaling analysis
+        now = _time.time()
+        snap.stats.setdefault("stage_secs", {})[stage] = round(
+            now - _stage_t[0], 2)
+        _stage_t[0] = now
         cat.mark_stage(snap, stage)
 
     del_bc, del_df = _load_tombstones(spark, cat, parent)
