@@ -330,6 +330,19 @@ def _encode_partition(batches, block_size: int):
     # block (hundreds of thousands per partition), which dominated the
     # encode stage and throttled multi-worker scaling
     pos_block_offs = pos_offs[np.append(bstarts, n)]
+    # binary_array degrades >2 GiB buffers to 64-bit-offset
+    # large_binary so library-level callers keep working, but THIS
+    # frame crosses mapInPandas with POSTINGS_SCHEMA's 32-bit binary
+    # columns — surface the actionable error here instead of an
+    # obscure Arrow serializer failure
+    for nm, off in (("doc", doc_off), ("tf", tf_off), ("dl", dl_off),
+                    ("lang", lo_off), ("ts", to_off),
+                    ("pos", pos_block_offs)):
+        if int(off[-1]) - int(off[0]) >= (1 << 31):
+            raise ValueError(
+                f"{nm} stream buffer exceeds 2 GiB in one partition — "
+                "Spark's Arrow bridge needs 32-bit binary offsets; "
+                "lower rows_per_posting_partition (BuildConfig)")
     res = pd.DataFrame(
         {
             "segment": seg[bstarts],

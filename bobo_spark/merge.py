@@ -42,9 +42,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .build import _encode_partition, assign_sorted_ids, pack_meta
+from .build import (POSTINGS_SCHEMA, _encode_partition, assign_sorted_ids,
+                    pack_meta)
 from .catalog import IndexCatalog, Snapshot
-from .codecs import binary_array, binary_parts, vb_decode
+from .codecs import binary_array, binary_parts, vb_decode, vb_encode_segmented
+# shared with the query engine on purpose: a codec change that reaches
+# query-side decode but not the merge (or vice versa) would silently
+# corrupt merged indexes
+from .query import _decode_docs, _sorted_member
 
 _SENTINEL_FIELDS = {"lang": "dict_lang", "ts": "dict_ts_bucket"}
 
@@ -52,30 +57,10 @@ _SENTINEL_FIELDS = {"lang": "dict_lang", "ts": "dict_ts_bucket"}
 # ------------------------------------------------------------- batch helpers
 
 
-def _sorted_member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
-    if sorted_arr.size == 0:
-        return np.zeros(vals.shape, dtype=bool)
-    pos = np.searchsorted(sorted_arr, vals)
-    return (pos < sorted_arr.size) & \
-        (sorted_arr[np.minimum(pos, sorted_arr.size - 1)] == vals)
-
-
 def _decode_block_docs(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    """Decode the docID streams of a batch of block rows (any order):
-    one vectorized pass, per-block absolute first_docs re-based with a
-    segmented cumsum. Returns (docs, n_docs_per_block)."""
-    nds = pdf["n_docs"].to_numpy(np.int64)
-    firsts = pdf["first_doc"].to_numpy(np.int64)
-    total = int(nds.sum())
-    starts = np.cumsum(nds) - nds
-    deltas = vb_decode(binary_parts(pdf["doc_bytes"])[0]).astype(np.int64)
-    vals = np.zeros(total, dtype=np.int64)
-    mask = np.ones(total, dtype=bool)
-    mask[starts] = False
-    vals[mask] = deltas
-    cums = np.cumsum(vals)
-    docs = cums - np.repeat(cums[starts], nds) + np.repeat(firsts, nds)
-    return docs, nds
+    """(decoded docIDs, n_docs per block) for a batch of block rows —
+    the docID rebase is query._decode_docs (the engine's own decode)."""
+    return _decode_docs(pdf), pdf["n_docs"].to_numpy(np.int64)
 
 
 def _keep_mask(pdf: pd.DataFrame, docs: np.ndarray, nds: np.ndarray,
@@ -167,7 +152,6 @@ def _rewrite_blocks(batches, del_bc, maps_bc, block_size: int):
         keep_vals = np.repeat(keep, pos_counts)
         counts_k = pos_counts[keep]
         starts_k = np.cumsum(counts_k) - counts_k
-        from .codecs import vb_encode_segmented
         pos_buf, pos_off_k = vb_encode_segmented(vals[keep_vals], starts_k)
         frame = pd.DataFrame({
             "doc_id": docs[keep],
@@ -388,20 +372,28 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
         rewritten = spark.read.parquet(
             *cat.table_paths(parent, "postings")).mapInPandas(
             lambda it: _rewrite_blocks(it, del_bc, maps_bc, block_size),
-            schema=("segment long, term_id long, first_doc long, "
-                    "last_doc long, n_docs int, doc_bytes binary, "
-                    "tf_bytes binary, dl_bytes binary, lang_bytes binary, "
-                    "ts_bytes binary, pos_bytes binary, max_tf int, "
-                    "min_dl int"))
+            schema=POSTINGS_SCHEMA)
         if not use_bc:
             # web-scale dictionary: remap ids with a distributed join
-            # instead of a driver-sized array
+            # instead of a driver-sized array. A surviving block whose
+            # term is missing from the id map is the same stats/rewrite
+            # divergence the broadcast path raises on — fail the job in
+            # the executor, never coerce real postings to pseudo runs
             idmap = spark.read.parquet(idmap_path)
-            rewritten = (rewritten.withColumnRenamed("term_id", "old_id")
-                         .join(idmap, "old_id", "left")
-                         .withColumn("term_id",
-                                     F.coalesce("term_id", F.lit(-1)))
-                         .drop("old_id"))
+            diverged = F.raise_error(F.concat(
+                F.lit("merge id-remap: surviving postings for a term "
+                      "absent from the merged dictionary (old_id="),
+                F.col("old_id").cast("string"),
+                F.lit(") — stats pass and rewrite diverged"))).cast("long")
+            rewritten = (
+                rewritten.withColumnRenamed("term_id", "old_id")
+                .join(idmap, "old_id", "left")
+                .withColumn(
+                    "term_id",
+                    F.when(F.col("old_id") < 0, F.lit(-1))
+                    .when(F.col("term_id").isNotNull(), F.col("term_id"))
+                    .otherwise(diverged))
+                .drop("old_id"))
         rewritten.write.mode("overwrite").parquet(postings_path)
         mark("postings")
 
@@ -468,4 +460,8 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
         snap.tables = tables  # NO deletes key: tombstones are reclaimed
         cat.update_snapshot(snap)
         mark("published")
+        # the old→new id map was resume scratch for the postings
+        # stage; nothing references it once the snapshot is published
+        import shutil
+        shutil.rmtree(idmap_path, ignore_errors=True)
     return cat.get(sid)

@@ -59,6 +59,10 @@ import os
 # BOBO_ARROW_UDF=1 re-enables for experiments.
 _ARROW_UDF = os.environ.get("BOBO_ARROW_UDF", "0") == "1"
 
+# serializes search_many's session-conf AQE flip (see its comment)
+import threading as _threading
+_AQE_LOCK = _threading.RLock()
+
 OUT_SCHEMA = "kind int, doc_id long, score double, field string, ordinal long, count long"
 _K_HIT, _K_FACET, _K_STATS, _K_EXPL = 1, 2, 3, 4
 FACET_FIELDS = {"lang": "lang", "ts_bucket": "ts_bucket"}
@@ -1427,13 +1431,21 @@ class IndexReader:
             # of the fast leg). The exchange width is already pinned
             # by the explicit repartition, so adaptivity buys nothing
             # here: run the batch action non-adaptive, restore after.
+            # The flip is session-level conf, so it is serialized
+            # under a module lock: without it, two concurrent
+            # search_many calls could each capture the other's
+            # in-flight "false" and leave AQE permanently disabled.
+            # (Unrelated queries planned by OTHER threads during the
+            # window still see AQE off — inherent to session conf;
+            # batch retrieval is a single-driver bulk pattern.)
             conf = self.spark.conf
-            prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
-            try:
-                conf.set("spark.sql.adaptive.enabled", "false")
-                out = grouped.toPandas()
-            finally:
-                conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            with _AQE_LOCK:
+                prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+                try:
+                    conf.set("spark.sql.adaptive.enabled", "false")
+                    out = grouped.toPandas()
+                finally:
+                    conf.set("spark.sql.adaptive.enabled", prev_aqe)
         else:
             out = pd.DataFrame(columns=["kind", "doc_id", "score", "field",
                                         "ordinal", "count", "qid"])

@@ -195,3 +195,27 @@ def test_incremental_append_after_merge(spark, tmp_path):
     delete_docs(spark, d, [450])
     r2 = IndexReader(spark, d)
     assert r2.snap.stats["n_deleted"] == 1
+
+
+def test_merge_join_fallback_idmap(spark, tmp_path):
+    """Web-scale path: broadcast_idmap_threshold=0 forces the
+    distributed-join term-id remap; answers must still equal a fresh
+    build of the survivors (and pseudo forward runs must survive the
+    left join with term_id -1)."""
+    d = str(tmp_path / "jf")
+    fresh_dir = str(tmp_path / "jf_fresh")
+    docs = webpages(spark, 400, 4)
+    cfg = BuildConfig(docs_per_segment=100, block_size=64)
+    build_snapshot(spark, docs, d, cfg)
+    delete_docs(spark, d, [7, 8, 9])
+    merge_snapshot(spark, d, block_size=64, broadcast_idmap_threshold=0)
+    build_snapshot(spark, docs.where(~F.col("doc_id").isin([7, 8, 9])),
+                   fresh_dir, cfg)
+    m, f = IndexReader(spark, d), IndexReader(spark, fresh_dir)
+    pd.testing.assert_frame_equal(
+        m._terms.orderBy("term_id").toPandas()[["term", "term_id", "df", "cf"]],
+        f._terms.orderBy("term_id").toPandas()[["term", "term_id", "df", "cf"]])
+    req = SearchRequest(query="data row", mode="or", k=10, facets=("lang",))
+    _assert_same_result(m.search(req), f.search(req))
+    # forward data decodable post-merge (pseudo runs kept term_id=-1)
+    assert m._forward.count() == 397
