@@ -219,3 +219,40 @@ def test_merge_join_fallback_idmap(spark, tmp_path):
     _assert_same_result(m.search(req), f.search(req))
     # forward data decodable post-merge (pseudo runs kept term_id=-1)
     assert m._forward.count() == 397
+
+
+def test_merge_resume_after_failure(spark, tmp_path, monkeypatch):
+    """North-rule resumability: a merge killed mid-pipeline resumes
+    from the last completed stage of the pending manifest entry and
+    publishes the same index a one-shot merge would."""
+    import bobo_spark.catalog as catalog_mod
+
+    d = str(tmp_path / "res")
+    docs = webpages(spark, 400, 4)
+    cfg = BuildConfig(docs_per_segment=100, block_size=64)
+    build_snapshot(spark, docs, d, cfg)
+    delete_docs(spark, d, [11, 12])
+    real_mark = catalog_mod.IndexCatalog.mark_stage
+
+    def dying_mark(self, snap, stage):
+        real_mark(self, snap, stage)
+        if stage == "terms":
+            raise RuntimeError("simulated crash after terms stage")
+
+    monkeypatch.setattr(catalog_mod.IndexCatalog, "mark_stage", dying_mark)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        merge_snapshot(spark, d, block_size=64)
+    monkeypatch.setattr(catalog_mod.IndexCatalog, "mark_stage", real_mark)
+    # resume completes on the SAME pending snapshot
+    snap = merge_snapshot(spark, d, block_size=64)
+    assert "published" in snap.stages
+    assert snap.stats["merge_of"] == 1  # parent = deletes snapshot
+    fresh_dir = str(tmp_path / "res_fresh")
+    build_snapshot(spark, docs.where(~F.col("doc_id").isin([11, 12])),
+                   fresh_dir, cfg)
+    m, f = IndexReader(spark, d), IndexReader(spark, fresh_dir)
+    pd.testing.assert_frame_equal(
+        m._terms.orderBy("term_id").toPandas()[["term", "term_id", "df", "cf"]],
+        f._terms.orderBy("term_id").toPandas()[["term", "term_id", "df", "cf"]])
+    req = SearchRequest(query="data row", mode="or", k=10)
+    _assert_same_result(m.search(req), f.search(req))
