@@ -209,6 +209,22 @@ def _q_browse_not(spark, sf_dir):
     return b.facet_counts_df(req, "source")
 
 
+def _q_browse_empty_filter(spark, sf_dir):
+    """Empty filter: a selection value absent from the corpus matches
+    ZERO docs (≙ the reference's unknown-value selection rows in
+    BoboTestCase) — num_hits 0 and no nonzero facet counts, without
+    erroring."""
+    b = _browser_documents(spark, sf_dir)
+    req = BrowseRequest()
+    req.add_selection(BrowseSelection("source", values=["no-such-source"]))
+    req.set_facet_spec("lang", FacetSpec(order_by="hits"))
+    res = b.browse(req)
+    nonzero = sum(1 for f in res.facet_map.get("lang", []) if f.count > 0)
+    return spark.createDataFrame(
+        [(int(res.num_hits), int(nonzero))],
+        "num_hits long, nonzero_lang_values long")
+
+
 def _q_browse_combo(spark, sf_dir):
     b = _browser_documents(spark, sf_dir)
     req = BrowseRequest(count=1000)
@@ -978,14 +994,15 @@ def _q_incremental_terms(spark, sf_dir):
 
 
 def queries() -> dict[str, _T]:
-    """All 65 oracled queries. ORDER IS CURATED: the driver verifies
+    """All 67 oracled queries. ORDER IS CURATED: the driver verifies
     only the FIRST 50 entries (its CORRECTNESS row cap), so the window
     holds (a) every entry whose code changed this round or that never
     had a driver row, and (b) one row per SURVEY §2 operator family.
-    The 15 entries past the window are zero-churn oracle twins /
-    JVM-expression operators, every one of them driver-green in r03
-    (see WINDOW.md for the per-entry verification ledger). Do NOT
-    append new entries without re-curating the first 50."""
+    The 17 entries past the window are zero-churn oracle twins /
+    JVM-expression operators, every one driver-green in r03 or r04
+    (see WINDOW.md for the per-entry verification ledger and the
+    round-robin rule). Do NOT append new entries without re-curating
+    the first 50."""
     return {
         # --- BM25 engine (incl. r4-changed delete/pruning/recency paths)
         "bm25_topk_and": _q_bm25_and,
@@ -1010,6 +1027,7 @@ def queries() -> dict[str, _T]:
         "browse_facet_source": _q_browse_facet_source,
         "browse_multiselect_expand": _q_browse_multiselect,
         "browse_not_values": _q_browse_not,
+        "browse_empty_filter": _q_browse_empty_filter,
         "browse_combo_selection": _q_browse_combo,
         "browse_sort_page": _q_sort_page,
         "browse_group_multilevel": _q_group_multilevel,
@@ -1041,7 +1059,6 @@ def queries() -> dict[str, _T]:
         "map_reduce_hook": _q_map_reduce,
         # --- LLM-pipeline scale paths
         "dedup_minhash_lsh": _q_dedup_minhash,
-        "token_counts": _q_token_counts,
         "simsearch_neardup_lsh": _q_sim_neardup_lsh,
         "simsearch_lsh_topk_indexed": _q_simsearch_lsh_indexed,
         "simsearch_ivf_topk": _q_simsearch_ivf,
@@ -1051,6 +1068,7 @@ def queries() -> dict[str, _T]:
         # sibling (oracle twins) or are plan-asserted pure-JVM
         # expressions. Ledger: WINDOW.md.
         "facet_geo_distance": _q_facet_geo_distance,
+        "token_counts": _q_token_counts,
         "dedup_exact": _q_dedup_exact,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "simsearch_topk_cosine": _q_simsearch,
@@ -1776,6 +1794,11 @@ t AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
       FROM tok GROUP BY 1)
 SELECT term, df::BIGINT AS df, cf::BIGINT AS cf
 FROM t ORDER BY df DESC, term LIMIT 20
+""",
+        "browse_empty_filter": """
+WITH hits AS (SELECT * FROM documents WHERE source = 'no-such-source')
+SELECT (SELECT count(*) FROM hits)::BIGINT AS num_hits,
+       (SELECT count(DISTINCT lang) FROM hits)::BIGINT AS nonzero_lang_values
 """,
         # merge reclaims deletes: every statistic (n, avgdl, df) is
         # recomputed over the SURVIVING docs — contrast with
