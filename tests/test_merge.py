@@ -256,3 +256,57 @@ def test_merge_resume_after_failure(spark, tmp_path, monkeypatch):
         f._terms.orderBy("term_id").toPandas()[["term", "term_id", "df", "cf"]])
     req = SearchRequest(query="data row", mode="or", k=10)
     _assert_same_result(m.search(req), f.search(req))
+
+
+def test_merge_regex_sections_table(spark, tmp_path):
+    """Regex-mode sections materialize a per-doc boundary TABLE — the
+    merge must filter it to survivors and section search must answer
+    like a fresh build of the survivors."""
+    d = str(tmp_path / "sec")
+    fresh_dir = str(tmp_path / "sec_fresh")
+    docs = webpages(spark, 400, 4)
+    cfg = BuildConfig(docs_per_segment=100, block_size=64,
+                      sections=("regex", r"\. "))
+    build_snapshot(spark, docs, d, cfg)
+    dele = [5, 17, 230]
+    delete_docs(spark, d, dele)
+    merge_snapshot(spark, d, block_size=64)
+    build_snapshot(spark, docs.where(~F.col("doc_id").isin(dele)),
+                   fresh_dir, cfg)
+    m, f = IndexReader(spark, d), IndexReader(spark, fresh_dir)
+    assert len(m.snap.tables["sections"]) == 1
+    tree = ("and", ("term", "data"), ("term", "row"))
+    a, b = m.section_search(tree, k=10), f.section_search(tree, k=10)
+    assert a.hits["doc_id"].tolist() == b.hits["doc_id"].tolist()
+    assert a.num_hits == b.num_hits
+    sec_m = (spark.read.parquet(*m.snap.tables["sections"])
+             .orderBy("doc_id").toPandas())
+    sec_f = (spark.read.parquet(*f.snap.tables["sections"])
+             .orderBy("doc_id").toPandas())
+    pd.testing.assert_frame_equal(sec_m.reset_index(drop=True),
+                                  sec_f.reset_index(drop=True))
+
+
+def test_merge_positions_off_index(spark, tmp_path):
+    """An index built with store_positions=False (empty pos streams)
+    merges cleanly; post-merge stats/search match a fresh build and
+    phrase queries still raise the driver-side error."""
+    d = str(tmp_path / "nopos")
+    fresh_dir = str(tmp_path / "nopos_fresh")
+    docs = webpages(spark, 300, 3)
+    cfg = BuildConfig(docs_per_segment=100, block_size=64,
+                      store_positions=False)
+    build_snapshot(spark, docs, d, cfg)
+    delete_docs(spark, d, [2, 3])
+    merge_snapshot(spark, d, block_size=64)
+    build_snapshot(spark, docs.where(~F.col("doc_id").isin([2, 3])),
+                   fresh_dir, cfg)
+    m, f = IndexReader(spark, d), IndexReader(spark, fresh_dir)
+    assert m.snap.stats["store_positions"] is False
+    req = SearchRequest(query="data row", mode="or", k=10)
+    _assert_same_result(m.search(req), f.search(req))
+    # both terms must EXIST in the dictionary ('ba'/'da' are head
+    # vocab) — a missing term short-circuits to empty before the
+    # positions guard
+    with pytest.raises(ValueError, match="position"):
+        m.search(SearchRequest(query="ba da", mode="phrase", k=5))
