@@ -393,7 +393,13 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
                     F.when(F.col("old_id") < 0, F.lit(-1))
                     .when(F.col("term_id").isNotNull(), F.col("term_id"))
                     .otherwise(diverged))
-                .drop("old_id"))
+                .drop("old_id")
+                # the join shuffles block rows, losing the doc-ascending
+                # order within (segment, term) runs that a LATER merge's
+                # _rewrite_blocks re-chunking (and the conjunctive
+                # block-skip's first_doc/last_doc metadata) relies on —
+                # restore it before writing
+                .sortWithinPartitions("segment", "term_id", "first_doc"))
         rewritten.write.mode("overwrite").parquet(postings_path)
         mark("postings")
 

@@ -1082,11 +1082,11 @@ class IndexReader:
                 best = np.empty(0, dtype=np.int64)
                 for pdf in batches:
                     cnt += len(pdf)
-                    if not len(pdf):
-                        continue
+                    if not len(pdf) or need == 0:
+                        continue  # count-only: never accumulate ids
                     best = np.concatenate(
                         [best, pdf["doc_id"].to_numpy(np.int64)])
-                    if need and best.size > need:
+                    if best.size > need:
                         best = np.partition(best, need - 1)[:need]
                 yield pd.DataFrame({"cnt": [cnt],
                                     "ids": [np.sort(best)[:need].tolist()]})

@@ -69,24 +69,77 @@ def cosine_neardup_pairs_lsh(df: DataFrame, dim: int, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:
     """Embedding near-dup pairs at scale: candidates share a hyperplane
-    sign bucket (one shuffle on the bucket key — never O(N²)), then the
-    exact cosine filter runs on candidates only. Deterministic (seeded
-    planes) so an exact oracle exists. ``max_bucket_size`` caps a
-    degenerate bucket via min-id representative pairing (same policy
-    and default as textops._bucket_pairs; None = exact uncapped)."""
-    from .textops import _bucket_pairs
+    sign bucket (one shuffle on the bucket key — never O(N²) across
+    buckets), then the exact cosine filter runs on candidates only.
+    Deterministic (seeded planes) so an exact oracle exists.
+    ``max_bucket_size`` caps a degenerate bucket via min-id
+    representative pairing (same policy and default as
+    textops._bucket_pairs; None = exact uncapped).
+
+    r6: candidate pairs are generated and scored INSIDE a per-bucket
+    pandas kernel instead of a bucket self-join — the exchange moves
+    each vector once (N rows) rather than every candidate pair with
+    both payload arrays (3.4M × 1 KB at sf1.0), and the dot product is
+    a dim-ordered numpy accumulation that reproduces the previous
+    ``zip_with``+``aggregate`` left fold bit-for-bit (same additions,
+    same order, IEEE doubles). The kernel pre-filters at threshold
+    minus the round-off bound (6e-5 > the 5e-5 a 4-decimal HALF_UP
+    round can move a value), and the authoritative
+    ``round(cos,4) >= threshold`` filter stays a Spark expression, so
+    results are identical to the join formulation (oracle-verified)."""
+    import pandas as pd
 
     planes = hyperplanes(dim, n_planes, seed)
-    banded = df.select(
+    from .textops import _spread
+
+    id_type = dict(df.dtypes)[id_col]
+    banded = _spread(df).select(
         F.col(id_col).alias("id"),
         _dvec(F.col(vec_col)).alias("sig"),
-        F.lit(0).alias("band"),
         lsh_bucket_col(vec_col, planes).alias("bucket"),
     )
-    pairs = _bucket_pairs(banded, max_bucket_size)
-    cos = _dot(F.col("sig_a"), F.col("sig_b")) / (_norm(F.col("sig_a")) * _norm(F.col("sig_b")))
+    margin = threshold - 6e-5
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["sig"].iloc[order]])
+        c = len(ids)
+        if c < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                                 "cosine": np.zeros(0)})
+        ndim = V.shape[1]
+        nrm = np.zeros(c)
+        for d in range(ndim):            # left fold ≡ _norm's aggregate
+            nrm = nrm + V[:, d] * V[:, d]
+        nrm = np.sqrt(nrm)
+        if max_bucket_size is not None and c > max_bucket_size:
+            # representative pairing: min-id row vs every other member
+            dot = np.zeros(c)
+            for d in range(ndim):
+                dot = dot + V[0, d] * V[:, d]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (nrm[0] * nrm)
+            ia, ib = np.zeros(c - 1, dtype=np.int64), np.arange(1, c)
+            ca = cos[1:]
+        else:
+            dot = np.zeros((c, c))
+            for d in range(ndim):        # dim-ordered ≡ _dot's left fold
+                dot = dot + np.outer(V[:, d], V[:, d])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / np.outer(nrm, nrm)
+            ia, ib = np.triu_indices(c, k=1)
+            ca = cos[ia, ib]
+        keep = (ca >= margin) | np.isnan(ca)  # NaN >= x is TRUE in Spark SQL
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "cosine": ca[keep]})
+
+    pairs = banded.groupBy("bucket").applyInPandas(
+        bucket_pairs, schema=f"id_a {id_type}, id_b {id_type}, cosine double")
     return (
-        pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 

@@ -21,10 +21,27 @@ Scale notes (10^12-doc corpus):
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
 TOKEN_PATTERN = "[a-z0-9]+"
 MERSENNE31 = 2147483647
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor: round-robin repartition up to
+    the session's core count when the source scan produced fewer
+    splits (a single small parquet file otherwise runs the whole
+    per-row stage on ONE task); never reduces existing parallelism,
+    so large inputs (many splits) pass through shuffle-free."""
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 STOPWORDS_EN = [
     "the", "of", "and", "a", "to", "in", "is", "it", "for", "on",
@@ -47,7 +64,7 @@ def tokens(text_col: str = "text") -> Column:
 
 def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Whitespace and regex (BPE-ish pretoken) token counts per doc."""
-    return df.select(
+    return _spread(df).select(
         F.col(id_col),
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("ws_tokens"),
         F.size(tokens(text_col)).cast("long").alias("re_tokens"),
@@ -72,7 +89,7 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         + distinct_ratio * 0.4
         + stop_ratio * 0.2
     )
-    return df.select(
+    return _spread(df).select(
         F.col(id_col),
         F.round(mean_tok_len, 4).alias("mean_tok_len"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
@@ -99,7 +116,7 @@ def langid(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Dat
     tie = sum([F.when(scores[lang] == best, 1).otherwise(0) for lang in langs], F.lit(0))
     for lang in reversed(langs):
         pred = F.when((best > 0) & (tie == 1) & (scores[lang] == best), lang).otherwise(pred)
-    out = df.select(F.col(id_col), pred.alias("pred_lang"),
+    out = _spread(df).select(F.col(id_col), pred.alias("pred_lang"),
                     *[scores[lang].cast("long").alias(f"score_{lang}") for lang in langs])
     return out
 
@@ -124,7 +141,7 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """Document fingerprint = min md5 over word n-gram shingles
     (winnowing-style min-hash fingerprint)."""
     sh = shingles(text_col, n)
-    return df.select(
+    return _spread(df).select(
         F.col(id_col),
         F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
     )
@@ -160,29 +177,60 @@ DEFAULT_MAX_BUCKET_SIZE = 1000
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        n: int = 3, k: int = 16) -> DataFrame:
     """MinHash signature per doc: sig_i = min over shingles of
-    (a_i * (h(s) mod p) + b_i) mod p, p = 2^31-1.
+    (a_i * (h(s) mod p) + b_i) mod p, p = 2^31-1, h(s) = first 15 hex
+    chars of md5(s) as an integer.
 
-    Explode + k fused min-aggregates: md5 runs once per shingle, the k
-    permutation mins are vectorized whole-stage-codegen column ops with
-    map-side partial aggregation — the shuffle moves only k longs per
-    doc. (The previous per-row aggregate/transform lambda re-allocated
-    a k-array per shingle — interpreter-bound, ~5× slower.)"""
+    r6: one Arrow batch kernel per partition (guide §4.2) — tokens are
+    extracted by the same JVM regex, then shingle strings, md5
+    (hashlib ≡ Spark md5 bit-for-bit) and the k permutation mins run
+    vectorized in numpy int64 (exact integer arithmetic, so the DuckDB
+    oracle equality is unchanged). Replaces the explode + k-min-agg
+    formulation whose interpreted `transform(sequence, slice,
+    concat_ws)` shingle builder dominated the operator (29.6 s of
+    34.6 s at sf1.0, measured single-task); no explode, no shuffle —
+    the output moves k longs per doc."""
     a, b = _minhash_params(k)
-    h = df.select(
-        F.col(id_col),
-        F.explode(shingles(text_col, n)).alias("_s"),
-    ).select(id_col, (_shingle_hash(F.col("_s")) % MERSENNE31).alias("_h"))
-    sig = h.groupBy(id_col).agg(*[
-        F.min((F.lit(a[i]) * F.col("_h") + F.lit(b[i])) % MERSENNE31).alias(f"_m{i}")
-        for i in range(k)
-    ])
-    return sig.select(F.col(id_col),
-                      F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("minhash"))
+    a_arr = np.asarray(a, dtype=np.int64).reshape(1, k)
+    b_arr = np.asarray(b, dtype=np.int64).reshape(1, k)
+    id_type = dict(df.dtypes)[id_col]
+    src = _spread(df).select(F.col(id_col), tokens(text_col).alias("_toks"))
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        for batch in batches:
+            ids = batch.column(0)
+            toks_lists = batch.column(1).to_pylist()
+            nrows = len(toks_lists)
+            sigs = np.empty((nrows, k), dtype=np.int64)
+            for r, tl in enumerate(toks_lists):
+                if not tl:
+                    tl = []
+                if len(tl) >= n:
+                    sh = [" ".join(tl[i:i + n]) for i in range(len(tl) - n + 1)]
+                else:
+                    sh = [" ".join(tl)]
+                hs = np.fromiter(
+                    (int(md5(s.encode("utf-8")).hexdigest()[:15], 16) % MERSENNE31
+                     for s in sh), dtype=np.int64, count=len(sh))
+                sigs[r] = ((hs[:, None] * a_arr + b_arr) % MERSENNE31).min(axis=0)
+            offs = pa.array((np.arange(nrows + 1) * k).astype(np.int32))
+            lst = pa.ListArray.from_arrays(offs, pa.array(sigs.ravel()))
+            yield pa.RecordBatch.from_arrays([ids, lst], [id_col, "minhash"])
+
+    return src.mapInArrow(kernel, schema=f"{id_col} {id_type}, minhash array<bigint>")
 
 
 def _bucket_pairs(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
-    """Distinct candidate pairs from a banded frame (id, sig, band,
-    bucket).
+    """Candidate pairs from a banded frame (id, sig, band, bucket) —
+    NOT de-duplicated: a pair agreeing on several bands appears once
+    per band. Callers compute their score (a pure function of the
+    sigs, so duplicates score identically), apply the threshold, and
+    ``distinct()`` the final NARROW projection — r6 moved the dedup
+    after the filter so the exchange carries (id, id, score) survivors
+    instead of every candidate with both full signature payloads
+    (guide §2.3: shuffle keys and scores, not payloads).
 
     Uncapped: full within-bucket pairing (O(c²) per bucket — exact,
     the oracle variant). With ``max_bucket_size``: buckets larger than
@@ -214,7 +262,6 @@ def _bucket_pairs(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
     )
 
 
@@ -253,6 +300,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return (
         pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
+        .distinct()
     )
 
 
@@ -263,7 +311,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
 
     The exact (oracle) variant — at corpus scale use minhash_lsh_pairs;
     ``max_shingle_df`` drops ubiquitous shingles to bound the join."""
-    sh = df.select(F.col(id_col).alias("id"),
+    sh = _spread(df).select(F.col(id_col).alias("id"),
                    F.explode(F.array_distinct(shingles(text_col, n))).alias("s"))
     if max_shingle_df:
         keep = sh.groupBy("s").count().where(F.col("count") <= max_shingle_df).select("s")
@@ -290,35 +338,44 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """60-bit SimHash from md5-derived token bits (pure expression).
+    """60-bit SimHash from md5-derived token bits.
 
     bit_i(doc) = 1 iff Σ over distinct tokens of (2*((h(t)>>i)&1)-1) > 0.
-    Per-row fold, NO shuffle — measured 3× faster than the explode +
-    60-aggregate alternative (unlike minhash, whose per-row form
-    re-allocated a k-array per shingle)."""
-    toks = F.array_distinct(tokens(text_col))
-    hs = F.transform(toks, _shingle_hash)
-    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(60)])
-    # one pass over tokens maintaining 60 bit-counters; the final
-    # bit-pack happens in the aggregate's finish lambda so the token
-    # scan is evaluated exactly once (md5 once per token).
-    sim = F.aggregate(
-        hs,
-        F.array_repeat(F.lit(0).cast("long"), 60),
-        lambda acc, t: F.transform(
-            F.sequence(F.lit(0), F.lit(59)),
-            lambda i: F.element_at(acc, i + 1)
-            + F.when((t % (F.element_at(pow2, i + 1) * 2)) >= F.element_at(pow2, i + 1),
-                     1).otherwise(-1),
-        ),
-        lambda acc: F.aggregate(
-            F.sequence(F.lit(0), F.lit(59)),
-            F.lit(0).cast("long"),
-            lambda s, i: s
-            + F.when(F.element_at(acc, i + 1) > 0, F.element_at(pow2, i + 1)).otherwise(0),
-        ),
-    )
-    return df.select(F.col(id_col), sim.alias("simhash"))
+
+    r6: the md5-derived token hashes stay a JVM expression (cheap,
+    codegen'd), but the 60-bit-counter fold — previously an interpreted
+    `aggregate` HOF allocating a fresh 60-array per token, 13.3 s
+    single-task at sf1.0 — is now one vectorized numpy pass per Arrow
+    batch (guide §4.2). Pure integer arithmetic, bit-identical output;
+    a null token array still yields a null simhash."""
+    id_type = dict(df.dtypes)[id_col]
+    src = _spread(df).select(
+        F.col(id_col),
+        F.transform(F.array_distinct(tokens(text_col)), _shingle_hash).alias("_hs"))
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            hs = batch.column(1)
+            nrows = len(hs)
+            lens = hs.value_lengths().to_numpy(zero_copy_only=False)
+            null_mask = np.asarray(hs.is_null().to_numpy(
+                zero_copy_only=False), dtype=bool)
+            lens = np.where(null_mask, 0, lens).astype(np.int64)
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            flat = hs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            sim = np.zeros(nrows, dtype=np.int64)
+            for i in range(60):
+                contrib = (((flat >> i) & 1) * 2 - 1)
+                cs = np.concatenate([[0], np.cumsum(contrib)])
+                row = cs[offs[1:]] - cs[offs[:-1]]
+                sim |= (row > 0).astype(np.int64) << i
+            out = pa.array(sim, mask=null_mask) if null_mask.any() else pa.array(sim)
+            yield pa.RecordBatch.from_arrays([ids, out], [id_col, "simhash"])
+
+    return src.mapInArrow(kernel, schema=f"{id_col} {id_type}, simhash bigint")
 
 
 def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -342,8 +399,10 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str =
     ).select("id", "sig", "bb.band", "bb.bucket")
     pairs = _bucket_pairs(banded, max_bucket_size)
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return pairs.select("id_a", "id_b", ham.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
+    return (
+        pairs.select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -351,7 +410,7 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """Exact duplicate groups by content hash: (text_hash, keeper_id,
     n_dups). One uniform hash shuffle — the canonical 100-TB dedup."""
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        _spread(df).groupBy(F.md5(F.col(text_col)).alias("text_hash"))
         .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
         .where(F.col("n_dups") > 1)
     )
