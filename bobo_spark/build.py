@@ -57,7 +57,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .catalog import IndexCatalog, Snapshot
+from .catalog import IndexCatalog, Snapshot, read_table_pdf, write_table_pdf
 from .codecs import (binary_array, binary_parts, compact_binary,
                      empty_binary_array, vb_encode_segmented)
 from .extract import extract_text
@@ -68,6 +68,26 @@ POSTINGS_SCHEMA = (
     "doc_bytes binary, tf_bytes binary, dl_bytes binary, lang_bytes binary, "
     "ts_bytes binary, pos_bytes binary, max_tf int, min_dl int"
 )
+
+
+def _small_table_pdf(paths, max_bytes: int = 64 << 20):
+    """pyarrow-direct read (zero Spark jobs) when the table's on-disk
+    size is under ``max_bytes``; None otherwise so the caller keeps the
+    distributed path — the gate is exact (file sizes), never a guess,
+    so web-scale dictionaries are unaffected."""
+    total = 0
+    ps = list(paths) if isinstance(paths, (list, tuple)) else [paths]
+    for pth in ps:
+        if os.path.isdir(pth):
+            total += sum(os.path.getsize(os.path.join(pth, f))
+                         for f in os.listdir(pth) if f.endswith(".parquet"))
+        elif os.path.exists(pth):
+            total += os.path.getsize(pth)
+        else:
+            return None
+    if total > max_bytes:
+        return None
+    return read_table_pdf(ps)
 
 
 @dataclass
@@ -642,8 +662,8 @@ def build_snapshot(
     if "docs" not in snap.stages:
         parent_lang = parent_ts = None
         if parent is not None:
-            parent_lang = spark.read.parquet(*cat.table_paths(parent, "dict_lang")).toPandas()
-            parent_ts = spark.read.parquet(*cat.table_paths(parent, "dict_ts_bucket")).toPandas()
+            parent_lang = read_table_pdf(cat.table_paths(parent, "dict_lang"))
+            parent_ts = read_table_pdf(cat.table_paths(parent, "dict_ts_bucket"))
         base = docs.select("doc_id", "url", "text", "lang", ts_col)
         # both dictionaries from ONE stacked aggregation job
         aggs = _dict_aggs(base.select("doc_id", "lang", "ts_bucket"),
@@ -657,9 +677,10 @@ def build_snapshot(
         lang_dict = _build_dict(aggs["lang"], parent_lang)
         ts_dict = _build_dict(aggs["ts_bucket"], parent_ts)
         for name, d in (("dict_lang", lang_dict), ("dict_ts_bucket", ts_dict)):
-            spark.createDataFrame(
-                d.astype({"ordinal": "int64", "df": "int64", "min_doc": "int64", "max_doc": "int64"})
-            ).coalesce(1).write.mode("overwrite").parquet(cat.table_path(name, sid))
+            write_table_pdf(
+                d.astype({"ordinal": "int64", "df": "int64",
+                          "min_doc": "int64", "max_doc": "int64"}),
+                cat.table_path(name, sid))
         lang_map = spark.createDataFrame(lang_dict[["ordinal", "value"]]).withColumnsRenamed(
             {"ordinal": "lang_ord", "value": "lang"}
         )
@@ -847,11 +868,18 @@ def build_snapshot(
         # a scan of the small terms table, not of the pairs; term count
         # rides the same job (reused by postings + publish, no re-count).
         # Facet sentinel terms ('\x00...') are NOT text tokens: exclude.
-        trow = terms.agg(
-            F.sum(F.when(~F.col("term").startswith("\x00"), F.col("cf"))).alias("tok"),
-            F.count("*").alias("n_terms"),
-        ).collect()[0]
-        tok_sum = trow["tok"] or 0
+        tstats = _small_table_pdf(terms_path)
+        if tstats is not None:  # small dictionary: zero-job aggregate
+            tok_sum = int(tstats.loc[~tstats["term"].str.startswith("\x00"),
+                                     "cf"].sum())
+            n_terms_stat = len(tstats)
+        else:
+            trow = terms.agg(
+                F.sum(F.when(~F.col("term").startswith("\x00"), F.col("cf"))).alias("tok"),
+                F.count("*").alias("n_terms"),
+            ).collect()[0]
+            tok_sum = trow["tok"] or 0
+            n_terms_stat = int(trow["n_terms"])
         n_docs = agg["n"] + (parent.stats["n_docs"] if parent else 0)
         snap.stats.update(
             {
@@ -860,7 +888,7 @@ def build_snapshot(
                 "avgdl": float(tok_sum) / max(1, n_docs),
                 "new_docs": int(agg["n"]),
                 "new_bytes": int(agg["bytes"] or 0),
-                "n_terms": int(trow["n_terms"]),
+                "n_terms": int(n_terms_stat),
                 # recorded so the query planner can reject phrase
                 # queries driver-side instead of failing in an executor
                 "store_positions": bool(cfg.store_positions),
@@ -894,7 +922,11 @@ def build_snapshot(
             # pass 2: ONE wide shuffle of the raw text by doc range;
             # tokenize + id-map + sort + encode all inside the
             # partition. The dictionary travels as a Spark broadcast.
-            tmap_pd = terms.select("term", "term_id").toPandas()
+            tmap_pd = _small_table_pdf(terms_path)
+            if tmap_pd is not None:
+                tmap_pd = tmap_pd[["term", "term_id"]]
+            else:
+                tmap_pd = terms.select("term", "term_id").toPandas()
             tmap_bc = spark.sparkContext.broadcast(
                 tmap_pd.set_index("term")["term_id"])
             dmin = snap.stats.get("doc_min")
@@ -1043,7 +1075,7 @@ def build_snapshot(
         if "n_terms" not in snap.stats:
             snap.stats["n_terms"] = terms.count()
         snap.stats["n_segments"] = int(
-            spark.read.parquet(meta_path).count()
+            len(read_table_pdf(meta_path))
             + (parent.stats.get("n_segments", 0) if parent else 0)
         )
         cumulative = {"terms": [terms_path], "dict_lang": [cat.table_path("dict_lang", sid)],

@@ -34,6 +34,50 @@ from dataclasses import dataclass, field
 TABLES = ("terms", "postings", "forward", "dict_lang", "dict_ts_bucket", "meta")
 
 
+def read_table_pdf(paths):
+    """Read a SMALL catalog table (dicts, terms, meta, idmap) straight
+    into pandas with pyarrow — zero Spark jobs. The catalog is
+    local-filesystem by design (see module docstring: the manifest is
+    plain `open()`/`os.replace`), so driver-direct table IO is valid
+    wherever the manifest itself is; schemas across files are
+    promoted (missing columns -> null), matching Spark's
+    mergeSchema=true. Large tables (postings, forward) keep going
+    through Spark scans."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    for p in paths if isinstance(paths, (list, tuple)) else [paths]:
+        if os.path.isdir(p):
+            files += sorted(os.path.join(p, f) for f in os.listdir(p)
+                            if f.endswith(".parquet"))
+        else:
+            files.append(p)
+    if not files:
+        return pd.DataFrame()
+    tbl = pa.concat_tables([pq.read_table(f) for f in files],
+                           promote_options="permissive")
+    return tbl.to_pandas()
+
+
+def write_table_pdf(pdf, path: str) -> None:
+    """Overwrite-write a SMALL catalog table from pandas as one
+    parquet file (zstd, like Spark's writes) — zero Spark jobs, same
+    directory layout Spark's writer produces, readable by both
+    spark.read.parquet and read_table_pdf."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   os.path.join(path, "part-00000.parquet"),
+                   compression="zstd")
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .build import (POSTINGS_SCHEMA, _encode_partition, assign_sorted_ids,
                     pack_meta)
-from .catalog import IndexCatalog, Snapshot
+from .catalog import IndexCatalog, Snapshot, read_table_pdf, write_table_pdf
 from .codecs import binary_array, binary_parts, vb_decode, vb_encode_segmented
 # shared with the query engine on purpose: a codec change that reaches
 # query-side decode but not the merge (or vice versa) would silently
@@ -174,17 +174,20 @@ def _load_tombstones(spark: SparkSession, cat: IndexCatalog,
     del_paths = cat.table_paths(parent, "deletes")
     if not del_paths:
         return spark.sparkContext.broadcast({}), None
-    ddf = (spark.read.option("mergeSchema", "true").parquet(*del_paths)
-           .distinct())
-    dpd = ddf.toPandas()
+    # r6: driver-direct read (read_table_pdf promotes mixed schemas
+    # like mergeSchema=true) — zero Spark jobs for ordinary volumes
+    dpd = read_table_pdf(del_paths).drop_duplicates(ignore_index=True)
+    ddf = spark.createDataFrame(
+        dpd[["doc_id"]].astype({"doc_id": "int64"}).drop_duplicates(),
+        schema="doc_id long")
     if "segment" not in dpd.columns or dpd["segment"].isna().any():
         fwd = spark.read.parquet(*cat.table_paths(parent, "forward"))
         dpd = (fwd.select("segment", "doc_id")
-               .join(F.broadcast(ddf.select("doc_id").distinct()), "doc_id")
+               .join(F.broadcast(ddf), "doc_id")
                .toPandas())
     seg_map = {int(s): np.sort(g["doc_id"].to_numpy(np.int64))
                for s, g in dpd.groupby("segment")}
-    return spark.sparkContext.broadcast(seg_map), ddf.select("doc_id").distinct()
+    return spark.sparkContext.broadcast(seg_map), ddf
 
 
 def merge_snapshot(spark: SparkSession, index_dir: str,
@@ -245,8 +248,7 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
             snap.stats["doc_min"] = int(lang_rows["min_doc"].min())
             snap.stats["doc_max"] = int(lang_rows["max_doc"].max())
         for fld, tbl in _SENTINEL_FIELDS.items():
-            old = (spark.read.parquet(*cat.table_paths(parent, tbl))
-                   .toPandas())
+            old = read_table_pdf(cat.table_paths(parent, tbl))
             part = (agg[(agg["field"] == fld) & (agg["ord"] > 0)]
                     .drop(columns="field")
                     .merge(old[["ordinal", "value"]],
@@ -261,15 +263,14 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
                 "min_doc": part["min_doc"].astype(np.int64),
                 "max_doc": part["max_doc"].astype(np.int64),
             })
-            spark.createDataFrame(new).coalesce(1).write.mode(
-                "overwrite").parquet(cat.table_path(tbl, sid))
+            write_table_pdf(new, cat.table_path(tbl, sid))
         cat.update_snapshot(snap)
         mark("dicts")
 
     def _ord_remap(fld: str) -> np.ndarray:
         tbl = _SENTINEL_FIELDS[fld]
-        old = spark.read.parquet(*cat.table_paths(parent, tbl)).toPandas()
-        new = spark.read.parquet(cat.table_path(tbl, sid)).toPandas()
+        old = read_table_pdf(cat.table_paths(parent, tbl))
+        new = read_table_pdf(cat.table_path(tbl, sid))
         hi = int(old["ordinal"].max()) if len(old) else 0
         rm = np.zeros(hi + 1, dtype=np.int64)  # dropped values (and 0) -> 0
         m = old[["ordinal", "value"]].merge(
@@ -336,16 +337,14 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
 
     # ---- stage: stats ----------------------------------------------------
     if "stats" not in snap.stages:
-        trow = terms.agg(
-            F.sum(F.when(~F.col("term").startswith("\x00"), F.col("cf")))
-            .alias("tok"),
-            F.count("*").alias("n_terms")).collect()[0]
-        tok_sum = int(trow["tok"] or 0)
+        tpd = read_table_pdf(terms_path)
+        tok_sum = int(tpd.loc[~tpd["term"].str.startswith("\x00"),
+                              "cf"].sum())
         n_docs = snap.stats["n_docs"]
         snap.stats.update({
             "tok_sum": tok_sum,
             "avgdl": float(tok_sum) / max(1, n_docs),
-            "n_terms": int(trow["n_terms"]),
+            "n_terms": int(len(tpd)),
             "new_docs": 0,
             "new_bytes": 0,
             "n_deleted": 0,
@@ -360,11 +359,12 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
     postings_path = cat.table_path("postings", sid)
     if "postings" not in snap.stages:
         n_terms = snap.stats.get("n_terms", 0)
-        old_max = old_terms.agg(F.max("term_id")).collect()[0][0] or 0
         use_bc = n_terms <= broadcast_idmap_threshold
         tid_rm = None
         if use_bc:
-            idm = spark.read.parquet(idmap_path).toPandas()
+            idm = read_table_pdf(idmap_path)
+            old_max = int(read_table_pdf(
+                cat.table_paths(parent, "terms"))["term_id"].max() or 0)
             tid_rm = np.full(int(old_max) + 1, -2, dtype=np.int64)
             tid_rm[idm["old_id"].to_numpy(np.int64)] = \
                 idm["term_id"].to_numpy(np.int64)
@@ -451,8 +451,7 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
 
     # ---- publish ---------------------------------------------------------
     if "published" not in snap.stages:
-        snap.stats["n_segments"] = int(
-            spark.read.parquet(meta_path).count())
+        snap.stats["n_segments"] = int(len(read_table_pdf(meta_path)))
         tables = {
             "terms": [terms_path],
             "postings": [postings_path],

@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import bm25
-from .catalog import IndexCatalog, Snapshot
+from .catalog import IndexCatalog, Snapshot, read_table_pdf
 from .codecs import vb_decode
 from .tokenizer import tokenize
 
@@ -739,6 +739,11 @@ class IndexReader:
             if "pos_bytes" in self._postings_full.columns else self._postings_full
         self._forward = self.spark.read.parquet(*self.catalog.table_paths(self.snap, "forward"))
         self._terms_pd = None
+        # in-driver postings block cache (lazy; see _postings_driver):
+        # exact cost gate from the published token count
+        self._postings_pd_cache = None
+        self._driver_cache_ok = bool(cache) and (
+            self.snap.stats.get("tok_sum", 1 << 62) <= self.DRIVER_CACHE_TOKSUM)
         if cache:
             # hot-path tables pinned like Lucene's in-heap FacetDataCache
             # (spills to disk when they don't fit executor memory).
@@ -755,13 +760,13 @@ class IndexReader:
             # scan when the dictionary is web-scale)
             if self.snap.stats.get("n_terms", 1 << 62) <= 2_000_000:
                 self._terms_pd = self._terms.select("term", "term_id", "df").toPandas()
+        # facet dictionaries are page-scale — driver-direct parquet
+        # read (zero Spark jobs per reader open; see catalog.read_table_pdf)
         self.dicts = {
-            "lang": self.spark.read.parquet(
-                *self.catalog.table_paths(self.snap, "dict_lang")
-            ).toPandas(),
-            "ts_bucket": self.spark.read.parquet(
-                *self.catalog.table_paths(self.snap, "dict_ts_bucket")
-            ).toPandas(),
+            "lang": read_table_pdf(
+                self.catalog.table_paths(self.snap, "dict_lang")),
+            "ts_bucket": read_table_pdf(
+                self.catalog.table_paths(self.snap, "dict_ts_bucket")),
         }
         # cumulative soft-delete tombstones (≙ Lucene liveDocs): hits,
         # facet counts and num_hits exclude them; df/cf/avgdl stats
@@ -782,9 +787,15 @@ class IndexReader:
             # either drops the segment column or nulls legacy rows,
             # whose tombstones would then silently vanish from the
             # per-segment broadcast
-            self._deletes_df = (self.spark.read.option("mergeSchema", "true")
-                                .parquet(*del_paths).distinct())
-            dpd = self._deletes_df.toPandas()
+            # r6: driver-direct read (read_table_pdf promotes mixed
+            # schemas exactly like mergeSchema=true); the Spark-side
+            # frame for anti-joins is created from the deduped pandas
+            # (lazy, no job)
+            dpd = read_table_pdf(del_paths).drop_duplicates(
+                ignore_index=True)
+            self._deletes_df = self.spark.createDataFrame(
+                dpd[["doc_id"]].astype({"doc_id": "int64"}).drop_duplicates(),
+                schema="doc_id long")
             if "segment" not in dpd.columns or dpd["segment"].isna().any():
                 # legacy rows (no segment): resolve ALL ids via one
                 # broadcast semi-join against the forward table
@@ -871,12 +882,13 @@ class IndexReader:
         posting lists when Σdf(values)·2 < n_docs and ≤5 values, else
         scan the per-posting ordinal stream."""
         if ords is None:
-            return None, []
+            return None, [], 0
         if 0 < len(ords) <= self.OR_THRESHOLD:
             found = self._sentinel_lookup(field, ords)
             if len(found) == len(ords) and 2 * found["df"].sum() < self.n_docs:
-                return "postings", found["term_id"].astype("int64").tolist()
-        return "ords", []
+                return ("postings", found["term_id"].astype("int64").tolist(),
+                        int(found["df"].sum()))
+        return "ords", [], 0
 
     def plan(self, req: SearchRequest) -> dict:
         qtokens = tokenize(req.query) if isinstance(req.query, str) else [
@@ -892,8 +904,8 @@ class IndexReader:
             )
         plan_terms = _plan_terms(terms_pd, qtokens, self.n_docs)
         sel_lang, sel_ts = self._resolve_selections(req)
-        lang_mode, lang_tids = self._access_path("lang", sel_lang)
-        ts_mode, ts_tids = self._access_path("ts", sel_ts)
+        lang_mode, lang_tids, lang_df = self._access_path("lang", sel_lang)
+        ts_mode, ts_tids, ts_df = self._access_path("ts", sel_ts)
         recency = None
         if req.recency:
             d = self.dicts["ts_bucket"]
@@ -928,6 +940,7 @@ class IndexReader:
             "sel_ts_mode": ts_mode,
             "sel_lang_tids": lang_tids,
             "sel_ts_tids": ts_tids,
+            "sel_df": lang_df + ts_df,
             "expand_selection": req.expand_selection,
             "prune": req.prune,
             "phrase_ids": phrase_ids,
@@ -948,23 +961,74 @@ class IndexReader:
     # exceed the bound and take the distributed path).
     DRIVER_POSTINGS_THRESHOLD = 200_000
 
+    # tok_sum (known exactly from the published stats) below which the
+    # whole postings table is pulled driver-side ONCE per reader open —
+    # the embedded analogue of serving a small Lucene index from RAM:
+    # every fast-path query then costs ZERO Spark jobs instead of one
+    # scheduled scan+collect (~0.25 s of fixed per-job latency each on
+    # local[32]). Encoded blocks are ~4-8 B/token, so the default pins
+    # well under 200 MB of driver memory; web-scale indexes exceed the
+    # gate and keep the distributed path unchanged.
+    DRIVER_CACHE_TOKSUM = int(os.environ.get("BOBO_DRIVER_CACHE_TOKSUM",
+                                             "20000000"))
+
     def _driver_fastpath(self, plan: dict) -> bool:
-        if plan.get("sel_lang_tids") or plan.get("sel_ts_tids"):
-            return False  # sentinel posting lists' df not in the plan
-        total_df = sum(t["df"] for t in plan["terms"] if t["term_id"] >= 0)
+        # sentinel posting lists' df is resolved at plan time
+        # (sel_df), so selection queries on the inverted access path
+        # are cost-gated exactly like query terms
+        total_df = (sum(t["df"] for t in plan["terms"] if t["term_id"] >= 0)
+                    + plan.get("sel_df", 0))
         return total_df <= self.DRIVER_POSTINGS_THRESHOLD
+
+    def _postings_driver(self):
+        """(blocks pandas, sorted unique term_ids, slice starts, row
+        order) for the in-driver block cache, or None past the gate.
+        Built lazily on first fast-path use; includes pos_bytes so
+        phrase queries are served too."""
+        if not getattr(self, "_driver_cache_ok", False):
+            return None
+        if self._postings_pd_cache is None:
+            pdf = self._postings_full.toPandas()
+            tids = pdf["term_id"].to_numpy(np.int64)
+            order = np.argsort(tids, kind="stable")
+            uniq, starts = np.unique(tids[order], return_index=True)
+            self._postings_pd_cache = (pdf, uniq, starts, order)
+        return self._postings_pd_cache
+
+    def _blocks_for_tids(self, tids: list[int]) -> pd.DataFrame | None:
+        """Term-filtered block rows from the driver cache (zero Spark
+        jobs), or None when the cache is gated off."""
+        cached = self._postings_driver()
+        if cached is None:
+            return None
+        pdf, uniq, starts, order = cached
+        ends = np.append(starts[1:], order.size)
+        rows = []
+        for t in tids:
+            i = int(np.searchsorted(uniq, t))
+            if i < uniq.size and uniq[i] == t:
+                rows.append(order[starts[i]:ends[i]])
+        if not rows:
+            return pdf.iloc[:0]
+        return pdf.iloc[np.concatenate(rows)]
 
     def _segment_outputs_driver(self, plan: dict) -> pd.DataFrame:
         """Driver-side twin of _segment_outputs: one term-filtered
-        block fetch, then the SAME per-segment scorer in-process."""
+        block fetch (from the in-driver block cache when the index is
+        under the gate, else a pushed term_id IN scan), then the SAME
+        per-segment scorer in-process."""
         tids = [t["term_id"] for t in plan["terms"] if t["term_id"] >= 0]
         if not tids or (plan["mode"] in ("and", "phrase")
                         and len(tids) < len(plan["terms"])):
             return _empty_out()
+        tids = tids + plan.get("sel_lang_tids", []) + plan.get("sel_ts_tids", [])
         if plan["mode"] == "phrase":
             self._require_positions()
-        src = self._postings_full if plan["mode"] == "phrase" else self._postings
-        pdf = src.where(F.col("term_id").isin(tids)).toPandas()
+        pdf = self._blocks_for_tids(tids)
+        if pdf is None:
+            src = (self._postings_full if plan["mode"] == "phrase"
+                   else self._postings)
+            pdf = src.where(F.col("term_id").isin(tids)).toPandas()
         if not len(pdf):
             return _empty_out()
         outs = [_segment_search(g, plan, self._deleted_bc)
@@ -1211,6 +1275,26 @@ class IndexReader:
             return pd.DataFrame(
                 out, columns=["doc_id", "term_id", "tf", "positions"])
 
+        cached = self._postings_driver()
+        if cached is not None and self._terms_pd is not None:
+            # in-driver path: same tv() reconstruction over the cached
+            # blocks of the target segments, sentinel filter via the
+            # driver term dictionary — one Spark job (the segs lookup)
+            # instead of three
+            pdf_all = cached[0]
+            sub = pdf_all[pdf_all["segment"].isin(segs)]
+            outs = [tv(g) for _, g in sub.groupby("segment")]
+            vec_pd = (pd.concat(outs, ignore_index=True) if outs
+                      else pd.DataFrame(columns=["doc_id", "term_id", "tf",
+                                                 "positions"]))
+            merged = vec_pd.merge(
+                self._terms_pd[["term_id", "term"]], on="term_id")
+            merged = merged[~merged["term"].str.startswith("\x00")]
+            out_pd = merged[["doc_id", "term", "tf", "positions"]].astype(
+                {"doc_id": "int64", "tf": "int64"})
+            return self.spark.createDataFrame(
+                out_pd, schema="doc_id long, term string, tf long, "
+                               "positions string")
         vecs = blocks.groupBy("segment").applyInPandas(
             tv, schema="doc_id long, term_id long, tf long, positions string")
         # the result is page-sized — broadcast it against the dictionary
@@ -1286,8 +1370,10 @@ class IndexReader:
             tids = [t for t in plan["word_tid"].values() if t >= 0]
             if not tids:
                 return _empty_out()
-            pdf = self._postings_full.where(
-                F.col("term_id").isin(tids)).toPandas()
+            pdf = self._blocks_for_tids(tids)
+            if pdf is None:
+                pdf = self._postings_full.where(
+                    F.col("term_id").isin(tids)).toPandas()
             outs = [segment_section_search(g, plan, None, self._deleted_bc)
                     for _, g in pdf.groupby("segment")]
             return (pd.concat(outs, ignore_index=True) if outs
@@ -1315,6 +1401,18 @@ class IndexReader:
         from pyspark.sql.window import Window
 
         plan = self._section_plan(tree, k, offset, boost)
+        if (plan["sections"][0] == "window"
+                and plan["total_df"] <= self.DRIVER_POSTINGS_THRESHOLD
+                and self._postings_driver() is not None):
+            # zero-Spark-job page (same rows: doc_id is a unique total
+            # order, so sort+slice ≡ the distributed orderBy+limit+rank)
+            out_pd = self._section_outputs_pd(plan)
+            hp = (out_pd[out_pd["kind"] == _K_HIT]
+                  .sort_values("doc_id").iloc[offset:offset + k])
+            return self.spark.createDataFrame(
+                hp[["doc_id", "count"]].rename(columns={"count": "n_sections"})
+                .astype({"doc_id": "int64", "n_sections": "int64"}),
+                schema="doc_id long, n_sections long")
         out = self._section_outputs(plan)
         top = (
             out.where(F.col("kind") == _K_HIT)
@@ -1545,6 +1643,24 @@ class IndexReader:
             page_order = Window.orderBy(F.asc("doc_id"))
         else:
             plan = self.plan(req)
+            if (self._driver_fastpath(plan)
+                    and self._postings_driver() is not None):
+                # zero-Spark-job page from the in-driver block cache —
+                # identical rows: same scorer, same (score desc,
+                # doc_id asc) total order as the distributed limit
+                out_pd = self._segment_outputs_driver(plan)
+                hp = out_pd[out_pd["kind"] == _K_HIT]
+                order = np.lexsort((hp["doc_id"].to_numpy(),
+                                    -hp["score"].to_numpy()))
+                page = hp.iloc[order[req.offset:req.offset + req.k]]
+                hits = self.spark.createDataFrame(
+                    page[["doc_id", "score"]].astype(
+                        {"doc_id": "int64", "score": "float64"}),
+                    schema="doc_id long, score double")
+                if with_url:
+                    hits = F.broadcast(hits).join(
+                        self._forward.select("doc_id", "url"), "doc_id")
+                return hits
             out = self._segment_outputs(plan)
             hits = (
                 out.where(F.col("kind") == _K_HIT)

@@ -54,12 +54,16 @@ def test_fastpath_equals_distributed(env):
                                           dist.explanations)
 
 
-def test_fastpath_declines_postings_selections(env):
+def test_fastpath_costs_postings_selections(env):
     reader = env
-    # postings-mode selections carry sentinel lists whose df is not in
-    # the plan — the fast path must decline rather than guess
+    # r6: postings-mode selections resolve their sentinel Σdf at plan
+    # time (plan["sel_df"]), so the fast path is cost-gated on the
+    # COMBINED posting volume — in-gate selections are served on the
+    # driver, and a selection heavy enough to breach the gate declines
     plan = reader.plan(SearchRequest(query="ba", mode="or", k=5))
+    assert reader._driver_fastpath(plan)
     plan["sel_lang_tids"] = [123]
+    plan["sel_df"] = reader.DRIVER_POSTINGS_THRESHOLD + 1
     assert not reader._driver_fastpath(plan)
 
 
