@@ -441,6 +441,25 @@ def _batch_group_decode(pdf: pd.DataFrame):
     return shared, groups_all
 
 
+class _SegGroups:
+    """Lazy per-term block-frame views over one segment's slice of the
+    driver block cache (rows pre-sorted by first_doc) — dict-shaped
+    for _segment_search's ``groups_all`` protocol, materializing a
+    frame only for terms a query actually touches."""
+
+    __slots__ = ("_pdf", "_slices")
+
+    def __init__(self, pdf: pd.DataFrame, slices: dict):
+        self._pdf, self._slices = pdf, slices
+
+    def __contains__(self, tid) -> bool:
+        return tid in self._slices
+
+    def __getitem__(self, tid) -> pd.DataFrame:
+        s, e = self._slices[tid]
+        return self._pdf.iloc[s:e]
+
+
 def _segment_search(pdf: pd.DataFrame, plan: dict,
                     deleted_bc=None, groups_all: dict | None = None,
                     shared_decode: dict | None = None,
@@ -467,7 +486,10 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
     out_rows = []
 
     if groups_all is not None:
-        need = {t["term_id"] for t in terms} \
+        # term_id -1 marks BOTH unknown query terms and the pseudo
+        # forward runs present in an unfiltered block source (the
+        # driver cache) — never let one resolve the other
+        need = {t["term_id"] for t in terms if t["term_id"] >= 0} \
             | set(plan.get("sel_lang_tids", [])) \
             | set(plan.get("sel_ts_tids", []))
         groups = {tid: groups_all[tid] for tid in need if tid in groups_all}
@@ -981,18 +1003,40 @@ class IndexReader:
         return total_df <= self.DRIVER_POSTINGS_THRESHOLD
 
     def _postings_driver(self):
-        """(blocks pandas, sorted unique term_ids, slice starts, row
-        order) for the in-driver block cache, or None past the gate.
-        Built lazily on first fast-path use; includes pos_bytes so
-        phrase queries are served too."""
+        """In-driver block cache, or None past the gate. Built lazily
+        on first fast-path use: one toPandas of the postings table
+        (pos_bytes included so phrase queries are served too), one
+        (term_id, segment, first_doc) lexsort, then contiguous-slice
+        indexes per term (for whole-term gathers) and per
+        (segment, term) (for the per-segment scorer). Returns
+        (pdf, seg_slices, tid_span, tid_segs)."""
         if not getattr(self, "_driver_cache_ok", False):
             return None
         if self._postings_pd_cache is None:
             pdf = self._postings_full.toPandas()
-            tids = pdf["term_id"].to_numpy(np.int64)
-            order = np.argsort(tids, kind="stable")
-            uniq, starts = np.unique(tids[order], return_index=True)
-            self._postings_pd_cache = (pdf, uniq, starts, order)
+            seg = pdf["segment"].to_numpy(np.int64)
+            tid = pdf["term_id"].to_numpy(np.int64)
+            fd = pdf["first_doc"].to_numpy(np.int64)
+            order = np.lexsort((fd, seg, tid))
+            pdf = pdf.iloc[order].reset_index(drop=True)
+            tid_s, seg_s = tid[order], seg[order]
+            n = len(pdf)
+            change = (np.flatnonzero((np.diff(tid_s) != 0)
+                                     | (np.diff(seg_s) != 0)) + 1
+                      if n else np.zeros(0, dtype=np.int64))
+            starts = np.concatenate(([0], change)) if n else change
+            ends = np.concatenate((change, [n])) if n else change
+            seg_slices: dict[int, dict[int, tuple[int, int]]] = {}
+            tid_span: dict[int, tuple[int, int]] = {}
+            tid_segs: dict[int, list[int]] = {}
+            for s0, e0 in zip(starts, ends):
+                t, g = int(tid_s[s0]), int(seg_s[s0])
+                seg_slices.setdefault(g, {})[t] = (int(s0), int(e0))
+                tid_segs.setdefault(t, []).append(g)
+                f = tid_span.get(t)
+                tid_span[t] = (int(s0) if f is None else f[0], int(e0))
+            self._postings_pd_cache = (pdf, seg_slices, tid_span, tid_segs)
+            self._decode_shared: dict[int, dict] = {}
         return self._postings_pd_cache
 
     def _blocks_for_tids(self, tids: list[int]) -> pd.DataFrame | None:
@@ -1001,22 +1045,21 @@ class IndexReader:
         cached = self._postings_driver()
         if cached is None:
             return None
-        pdf, uniq, starts, order = cached
-        ends = np.append(starts[1:], order.size)
-        rows = []
-        for t in tids:
-            i = int(np.searchsorted(uniq, t))
-            if i < uniq.size and uniq[i] == t:
-                rows.append(order[starts[i]:ends[i]])
-        if not rows:
+        pdf, _seg_slices, tid_span, _tid_segs = cached
+        parts = [pdf.iloc[tid_span[t][0]:tid_span[t][1]]
+                 for t in tids if t in tid_span]
+        if not parts:
             return pdf.iloc[:0]
-        return pdf.iloc[np.concatenate(rows)]
+        return parts[0] if len(parts) == 1 else pd.concat(parts)
 
     def _segment_outputs_driver(self, plan: dict) -> pd.DataFrame:
-        """Driver-side twin of _segment_outputs: one term-filtered
-        block fetch (from the in-driver block cache when the index is
-        under the gate, else a pushed term_id IN scan), then the SAME
-        per-segment scorer in-process."""
+        """Driver-side twin of _segment_outputs: serve from the
+        in-driver block cache when the index is under the gate (zero
+        Spark jobs, cross-query decode sharing via the SAME
+        groups_all/shared_decode protocol the batch path uses —
+        property-tested result-identical), else one pushed
+        term_id IN scan, then the SAME per-segment scorer
+        in-process."""
         tids = [t["term_id"] for t in plan["terms"] if t["term_id"] >= 0]
         if not tids or (plan["mode"] in ("and", "phrase")
                         and len(tids) < len(plan["terms"])):
@@ -1024,11 +1067,26 @@ class IndexReader:
         tids = tids + plan.get("sel_lang_tids", []) + plan.get("sel_ts_tids", [])
         if plan["mode"] == "phrase":
             self._require_positions()
-        pdf = self._blocks_for_tids(tids)
-        if pdf is None:
-            src = (self._postings_full if plan["mode"] == "phrase"
-                   else self._postings)
-            pdf = src.where(F.col("term_id").isin(tids)).toPandas()
+        cached = self._postings_driver()
+        if cached is not None:
+            pdf_all, seg_slices, _tid_span, tid_segs = cached
+            segs = sorted({g for t in tids for g in tid_segs.get(t, ())})
+            dmap = (self._deleted_bc.value if self._deleted_bc is not None
+                    else {})
+            outs = []
+            for g in segs:
+                o = _segment_search(
+                    None, plan,
+                    groups_all=_SegGroups(pdf_all, seg_slices[g]),
+                    shared_decode=self._decode_shared.setdefault(g, {}),
+                    deleted=dmap.get(g))
+                if len(o):
+                    outs.append(o)
+            return (pd.concat(outs, ignore_index=True) if outs
+                    else _empty_out())
+        src = (self._postings_full if plan["mode"] == "phrase"
+               else self._postings)
+        pdf = src.where(F.col("term_id").isin(tids)).toPandas()
         if not len(pdf):
             return _empty_out()
         outs = [_segment_search(g, plan, self._deleted_bc)

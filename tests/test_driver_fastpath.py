@@ -85,3 +85,27 @@ def test_section_fastpath_equals_distributed(spark, tmp_path_factory):
             del reader.DRIVER_POSTINGS_THRESHOLD
         assert fast.num_hits == dist.num_hits, tree
         pd.testing.assert_frame_equal(fast.hits, dist.hits)
+
+
+def test_cached_fastpath_unknown_term_with_selection(env):
+    """r6 regression: the in-driver block cache holds the pseudo
+    forward runs (term_id = -1); an UNKNOWN query term (also -1) must
+    not resolve to them (it would turn the candidate set into every
+    doc). OR-mode query with one unknown term + a postings-mode
+    selection must match the distributed path exactly."""
+    reader = env
+    req = SearchRequest(query=["ba", "zzznothing"], mode="or", k=10,
+                        facets=("lang",), selections={"lang": ["fr"]})
+    assert reader._postings_driver() is not None
+    fast = reader.search(req)
+    reader.DRIVER_POSTINGS_THRESHOLD = -1
+    try:
+        dist = reader.search(req)
+    finally:
+        del reader.DRIVER_POSTINGS_THRESHOLD
+    assert fast.num_hits == dist.num_hits
+    assert fast.hits["doc_id"].tolist() == dist.hits["doc_id"].tolist()
+    assert fast.hits["score"].tolist() == dist.hits["score"].tolist()
+    a = dict(zip(fast.facets["lang"]["value"], fast.facets["lang"]["count"]))
+    b = dict(zip(dist.facets["lang"]["value"], dist.facets["lang"]["count"]))
+    assert a == b
