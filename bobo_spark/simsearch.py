@@ -35,12 +35,19 @@ def _dvec(col) -> Column:
 
 def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact brute-force cosine top-k against one query vector."""
+    """Exact brute-force cosine top-k against one query vector.
+
+    r6: _spread raises the scan's parallelism floor — the interpreted
+    per-row dot fold was the whole cost and a single small parquet
+    file otherwise runs it on one task (identical arithmetic, same
+    TakeOrderedAndProject merge)."""
+    from .textops import _spread
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = _dvec(F.col(vec_col))
     cos = _dot(v, q) / (_norm(v) * _norm(q))
     return (
-        df.select(F.col(id_col), F.round(cos, 4).alias("cosine"))
+        _spread(df).select(F.col(id_col), F.round(cos, 4).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
