@@ -231,14 +231,38 @@ def _build_dict(agg: pd.DataFrame, parent_dict: pd.DataFrame | None) -> pd.DataF
 # --------------------------------------------------------------- stage: terms
 
 
-def assign_sorted_ids(terms: DataFrame, spark: SparkSession, id_base: int = 0, n_parts: int | None = None) -> DataFrame:
+def assign_sorted_ids(terms: DataFrame, spark: SparkSession, id_base: int = 0, n_parts: int | None = None,
+                      driver_threshold: int = 1_000_000) -> DataFrame:
     """Dense ids by global sort order — distributed two-pass rank.
 
     Pass 1 counts rows per range partition; pass 2 assigns
     ``offset[partition] + local_index`` inside ``mapInPandas``. The
     result is partitioning-invariant (ids = global lexicographic rank)
     and never funnels through a single-partition window.
+
+    r6: the input is persisted first — ``repartitionByRange``'s range
+    sampling otherwise re-evaluates the entire upstream (for the build
+    that was a SECOND tokenize pass over the corpus) — and
+    dictionaries at or under ``driver_threshold`` rows (exact count,
+    not a guess) take a driver-side sort instead: one count + one
+    collect replaces sample + shuffle + counts + assign. Ranks are
+    identical — pandas sorts by code point and Spark's UTF8String by
+    UTF-8 bytes, and UTF-8 byte order IS code-point order.
     """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(terms.schema.fields) + [T.StructField("term_id", T.LongType(), False)]
+    )
+    terms = terms.persist()
+    n_rows = terms.count()
+    if n_rows <= driver_threshold:
+        pdf = terms.toPandas()
+        terms.unpersist()
+        pdf = pdf.sort_values("term", ignore_index=True)
+        pdf = pdf[[f.name for f in out_schema.fields[:-1]]]
+        pdf["term_id"] = id_base + np.arange(n_rows, dtype=np.int64)
+        return spark.createDataFrame(pdf, schema=out_schema)
     if n_parts is None:
         n_parts = max(8, spark.sparkContext.defaultParallelism)
     ranged = terms.repartitionByRange(n_parts, "term").sortWithinPartitions("term")
@@ -254,6 +278,7 @@ def assign_sorted_ids(terms: DataFrame, spark: SparkSession, id_base: int = 0, n
         .orderBy("first_term")
         .collect()
     )
+    terms.unpersist()  # ranged is materialized now; input cache done
     import bisect
 
     keys, offsets = [], []

@@ -173,3 +173,21 @@ def test_regex_sections_identical_both_pipelines(spark, tmp_path_factory):
         ra, rb = a.section_search(tree, k=50), b.section_search(tree, k=50)
         assert ra.num_hits == rb.num_hits, tree
         pd.testing.assert_frame_equal(ra.hits, rb.hits)
+
+
+def test_assign_sorted_ids_driver_equals_distributed(spark):
+    """r6: assign_sorted_ids gained a driver-sort path for
+    dictionaries under the exact row-count gate; the distributed
+    two-pass rank must assign the SAME (term -> id) mapping."""
+    from bobo_spark.build import assign_sorted_ids
+
+    rows = [(f"t{i:04d}", i % 7 + 1, i % 11 + 1) for i in range(997)]
+    df = spark.createDataFrame(rows, "term string, df long, cf long")
+    drv = assign_sorted_ids(df, spark, id_base=5).toPandas()
+    dist = assign_sorted_ids(df, spark, id_base=5,
+                             driver_threshold=0).toPandas()
+    a = drv.sort_values("term", ignore_index=True)
+    b = dist.sort_values("term", ignore_index=True)
+    assert a["term"].tolist() == b["term"].tolist()
+    assert a["term_id"].tolist() == b["term_id"].tolist()
+    assert a["term_id"].tolist() == list(range(5, 5 + len(rows)))
