@@ -403,9 +403,17 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
         rewritten.write.mode("overwrite").parquet(postings_path)
         mark("postings")
 
-    # ---- stage: forward (survivors, remapped ordinals) -------------------
+    # ---- stages: forward + sections + meta (run CONCURRENTLY) ------------
+    # independent small jobs over already-written inputs with mostly
+    # fixed driver/scheduling latency — overlapping them removes a
+    # fixed serial cost exactly like the build's forward+meta overlap
+    # (guide §2.6: back-fill executors from a driver thread pool)
     forward_path = cat.table_path("forward", sid)
-    if "forward" not in snap.stages:
+    sections_path = cat.table_path("sections", sid)
+    has_sections = bool(cat.table_paths(parent, "sections"))
+    meta_path = cat.table_path("meta", sid)
+
+    def _run_forward() -> None:
         maps = []
         for fld, rm in (("lang_ord", lang_rm), ("ts_ord", ts_rm)):
             mdf = spark.createDataFrame(
@@ -420,21 +428,14 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
          .repartitionByRange(nfp, "segment", "doc_id")
          .sortWithinPartitions("segment", "doc_id")
          .write.mode("overwrite").parquet(forward_path))
-        mark("forward")
 
-    # ---- stage: sections (survivor filter; geometry is per-doc) ----------
-    sections_path = cat.table_path("sections", sid)
-    has_sections = bool(cat.table_paths(parent, "sections"))
-    if has_sections and "sections" not in snap.stages:
+    def _run_sections() -> None:
         sec = spark.read.parquet(*cat.table_paths(parent, "sections"))
         surv_sec = sec if del_df is None else sec.join(del_df, "doc_id",
                                                        "left_anti")
         surv_sec.write.mode("overwrite").parquet(sections_path)
-        mark("sections")
 
-    # ---- stage: meta (same lineage agg as the build) ---------------------
-    meta_path = cat.table_path("meta", sid)
-    if "meta" not in snap.stages:
+    def _run_meta() -> None:
         post = spark.read.parquet(postings_path)
         (post.where(F.col("term_id") >= 0)
          .groupBy("segment")
@@ -447,7 +448,23 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
                      "n_docs))").alias("checksum"))
          .withColumn("snapshot_id", F.lit(sid))
          .write.mode("overwrite").parquet(meta_path))
-        mark("meta")
+
+    todo = []
+    if "forward" not in snap.stages:
+        todo.append(("forward", _run_forward))
+    if has_sections and "sections" not in snap.stages:
+        todo.append(("sections", _run_sections))
+    if "meta" not in snap.stages:
+        todo.append(("meta", _run_meta))
+    if todo:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(todo)) as ex:
+            futs = [(name, ex.submit(fn)) for name, fn in todo]
+            for _name, f in futs:
+                f.result()
+        for name, _fn in todo:
+            mark(name)
 
     # ---- publish ---------------------------------------------------------
     if "published" not in snap.stages:
