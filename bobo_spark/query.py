@@ -403,7 +403,8 @@ def _blockmax_prune(groups: dict, present: list, k: int, avgdl: float,
     return out, keeps
 
 
-def _batch_group_decode(pdf: pd.DataFrame):
+def _batch_group_decode(pdf: pd.DataFrame, need_lang: bool = True,
+                        need_ts: bool = True):
     """Batch-mode per-task preparation in ONE pass: a single
     (term_id, first_doc) lexsort replaces the per-term
     groupby+sort_values+re-concat, and every term's five streams
@@ -411,11 +412,15 @@ def _batch_group_decode(pdf: pd.DataFrame):
     rebased docID pass) instead of five small decodes per term — the
     per-call overhead dominated the decode profile at ~170 terms per
     task, and the decode is the memory-bound part that contends
-    across workers. Returns ``(shared_decode, groups_all)``: the
-    decode cache (contents identical to per-term
-    ``_decode_term_blocks``) plus per-term block-row frames (cheap
-    row slices of the one sorted frame; only phrase verification
-    dereferences them)."""
+    across workers. ``need_lang``/``need_ts``: the caller asserts
+    that NO query in the batch reads that ordinal stream (no facet,
+    no ords-mode selection, for ts no recency), so its decode — 1/5
+    of the memory-bound bytes each — is skipped outright and the
+    tuple slot carries None. Returns ``(shared_decode, groups_all)``:
+    the decode cache (contents identical to per-term
+    ``_decode_term_blocks`` for every decoded stream) plus per-term
+    block-row frames (cheap row slices of the one sorted frame; only
+    phrase verification dereferences them)."""
     order = np.lexsort((pdf["first_doc"].to_numpy(np.int64),
                         pdf["term_id"].to_numpy(np.int64)))
     b = pdf.iloc[order]
@@ -427,8 +432,10 @@ def _batch_group_decode(pdf: pd.DataFrame):
     docs = _decode_docs(b)  # per-block rebase is term-agnostic
     tf = vb_decode(_cat_bytes(b["tf_bytes"])).astype(np.int64)
     dl = vb_decode(_cat_bytes(b["dl_bytes"])).astype(np.int64)
-    lang = vb_decode(_cat_bytes(b["lang_bytes"])).astype(np.int64)
-    ts = vb_decode(_cat_bytes(b["ts_bytes"])).astype(np.int64)
+    lang = (vb_decode(_cat_bytes(b["lang_bytes"])).astype(np.int64)
+            if need_lang else None)
+    ts = (vb_decode(_cat_bytes(b["ts_bytes"])).astype(np.int64)
+          if need_ts else None)
     el = np.concatenate(([0], np.cumsum(nds)))
     shared: dict = {}
     groups_all: dict = {}
@@ -436,7 +443,8 @@ def _batch_group_decode(pdf: pd.DataFrame):
         tid = int(tid_arr[s0])
         es, ee = el[s0], el[e0]
         shared[tid] = (docs[es:ee], tf[es:ee], dl[es:ee],
-                       lang[es:ee], ts[es:ee])
+                       lang[es:ee] if need_lang else None,
+                       ts[es:ee] if need_ts else None)
         groups_all[tid] = b.iloc[s0:e0]
     return shared, groups_all
 
@@ -620,10 +628,14 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
             docs, _tf, _dl, lang, ts = decoded[t["term_id"]]
             pos = np.searchsorted(cand, docs)
             ok = (pos < cand.size) & (cand[np.minimum(pos, cand.size - 1)] == docs)
-            pos, lang, ts = pos[ok], lang[ok], ts[ok]
+            pos = pos[ok]
             new = ~seen[pos]
-            doc_lang[pos[new]] = lang[new]
-            doc_ts[pos[new]] = ts[new]
+            # a None stream was skipped at decode because the batch
+            # caller proved NO plan reads it (see _batch_group_decode)
+            if lang is not None:
+                doc_lang[pos[new]] = lang[ok][new]
+            if ts is not None:
+                doc_ts[pos[new]] = ts[ok][new]
             seen[pos[new]] = True
 
     # ---- per-field selection masks: adaptive inverted-vs-forward path
@@ -1526,6 +1538,20 @@ class IndexReader:
         if all_tids and runnable:
             runnable_plans = [(i, plans[i]) for i in runnable]
             deleted_bc = self._deleted_bc
+            # exact per-batch stream needs: skip an ordinal stream's
+            # decode (1/5 of the memory-bound bytes) when NO plan in
+            # the batch reads it — lang feeds the lang facet and
+            # ords-mode lang selections; ts additionally feeds recency
+            need_lang = any(
+                "lang" in p["facets"]
+                or (p["sel_lang"] is not None
+                    and p.get("sel_lang_mode") != "postings")
+                for _, p in runnable_plans)
+            need_ts = any(
+                "ts_bucket" in p["facets"] or p.get("recency")
+                or (p["sel_ts"] is not None
+                    and p.get("sel_ts_mode") != "postings")
+                for _, p in runnable_plans)
 
             def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
                 # batch execution shares per-task state across ALL
@@ -1536,7 +1562,8 @@ class IndexReader:
                 outs = []
                 # one sort + one bulk decode per task: every query
                 # then scores against cache hits only
-                shared, groups_all = _batch_group_decode(pdf)
+                shared, groups_all = _batch_group_decode(
+                    pdf, need_lang=need_lang, need_ts=need_ts)
                 seg_deleted = _segment_deleted(deleted_bc, pdf)
                 for qid, plan in runnable_plans:
                     tids = [t["term_id"] for t in plan["terms"] if t["term_id"] >= 0]

@@ -1,22 +1,26 @@
 """Large-scale text-pipeline operators (dedup, language id, quality,
 token counts, fingerprints).
 
-Everything is expressed with built-in Spark SQL expressions (JVM-side,
-whole-stage-codegen) — no Python UDFs in any hot path. Hash-dependent
-operators derive ALL hashes from md5 (available and bit-identical in
-Spark and DuckDB), so every operator here has an exact cross-engine
-oracle.
+Filters, counts and joins are built-in Spark SQL expressions; the
+hash-kernel inner loops (shingle minhash, simhash bit fold) run as
+Arrow batch kernels in numpy — Catalyst evaluates higher-order
+lambdas interpreted, which made them the dominant cost (guide §4.2).
+Hash-dependent operators derive ALL hashes from md5 (hashlib ≡ Spark
+``md5`` ≡ DuckDB ``md5`` bit-for-bit), so every operator here keeps an
+exact cross-engine oracle.
 
 Scale notes (10^12-doc corpus):
 * exact dedup — one hash shuffle on md5(text); skew-free (hashes
   uniform).
-* MinHash-LSH — signatures via explode + k min-aggregates (map-side
-  partial agg; the shuffle moves k longs per doc); the band join
-  shuffles only (band_hash) keys; ``max_bucket_size`` caps degenerate
-  buckets via min-id representative pairing.
+* MinHash-LSH — signatures via a per-partition Arrow kernel (no
+  explode, no shuffle; the output moves k longs per doc); the band
+  join shuffles only (band_hash) keys, pairs are scored and
+  threshold-filtered BEFORE the distinct so the dedup exchange
+  carries survivors, not payloads; ``max_bucket_size`` caps
+  degenerate buckets via min-id representative pairing.
 * n-gram Jaccard — the exact variant (self-join on shingles) is the
   small-scale oracle; LSH is the scale path.
-* SimHash — per-row expression + 64-bit hamming band join.
+* SimHash — JVM md5 hashes + numpy bit fold, 64-bit hamming band join.
 """
 
 from __future__ import annotations
