@@ -1063,10 +1063,14 @@ def queries() -> dict[str, _T]:
         "simsearch_lsh_topk_indexed": _q_simsearch_lsh_indexed,
         "simsearch_ivf_topk": _q_simsearch_ivf,
         # ================= driver window ends here (entry 50) =========
-        # Zero-churn entries below are driver-green in r03 or r04 (none
-        # older than one round) and are semantically covered by a kept
-        # sibling (oracle twins) or are plan-asserted pure-JVM
-        # expressions. Ledger: WINDOW.md.
+        # Zero-churn entries below are driver-green in r03 or r04 —
+        # the r03 tail is TWO rounds old (the round-robin ledger's
+        # standing debt; WINDOW.md mandates its next-build-round
+        # rotation) — and are semantically covered by a kept sibling
+        # (oracle twins) or are plan-asserted pure-JVM expressions.
+        # All 67 were re-verified against the DuckDB oracle locally
+        # in r6 (optimization round; window order deliberately frozen).
+        # Ledger: WINDOW.md.
         "facet_geo_distance": _q_facet_geo_distance,
         "token_counts": _q_token_counts,
         "dedup_exact": _q_dedup_exact,

@@ -64,14 +64,17 @@ def main() -> None:
         print("== dedup_minhash_lsh (n=3, k=16, bands=4, thr=0.2, cap=None)")
         sigs = textops.minhash_signatures(docs, n=3, k=16)
         timed(spark, "phase: minhash_signatures noop", lambda: noop(sigs))
+        # reference measurement of the PRE-r6 formulation (interpreted
+        # shingle HOF + explode) — kept so the before/after is
+        # reproducible; the engine no longer executes this shape
         sh = docs.select(
             F.col("doc_id"),
             F.explode(textops.shingles("text", 3)).alias("_s"))
-        timed(spark, "phase: explode shingles only noop", lambda: noop(sh))
+        timed(spark, "phase: OLD explode-shingles formulation noop", lambda: noop(sh))
         hh = sh.select("doc_id",
                        (textops._shingle_hash(F.col("_s")) % textops.MERSENNE31)
                        .alias("_h"))
-        timed(spark, "phase: + md5/conv hash noop", lambda: noop(hh))
+        timed(spark, "phase: OLD + md5/conv hash noop", lambda: noop(hh))
         r = 4
         bandedm = sigs.select(
             F.col("doc_id").alias("id"), F.col("minhash").alias("sig"),
