@@ -64,6 +64,7 @@ import threading as _threading
 _AQE_LOCK = _threading.RLock()
 
 OUT_SCHEMA = "kind int, doc_id long, score double, field string, ordinal long, count long"
+_OUT_COLS = ["kind", "doc_id", "score", "field", "ordinal", "count"]
 _K_HIT, _K_FACET, _K_STATS, _K_EXPL = 1, 2, 3, 4
 FACET_FIELDS = {"lang": "lang", "ts_bucket": "ts_bucket"}
 
@@ -472,7 +473,25 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
                     deleted_bc=None, groups_all: dict | None = None,
                     shared_decode: dict | None = None,
                     deleted: np.ndarray | None = None) -> pd.DataFrame:
-    """Score one segment's query-term blocks (pure pandas/numpy).
+    """Score one segment's query-term blocks (pure pandas/numpy) —
+    DataFrame form of ``_segment_search_rows`` (same tuples, one
+    frame). Kept as the applyInPandas/applyInArrow entry point."""
+    rows = _segment_search_rows(pdf, plan, deleted_bc, groups_all,
+                                shared_decode, deleted)
+    if not rows:
+        return _empty_out()
+    return pd.DataFrame(rows, columns=_OUT_COLS)
+
+
+def _segment_search_rows(pdf: pd.DataFrame, plan: dict,
+                         deleted_bc=None, groups_all: dict | None = None,
+                         shared_decode: dict | None = None,
+                         deleted: np.ndarray | None = None) -> list:
+    """Score one segment's query-term blocks (pure pandas/numpy),
+    returning raw output TUPLES (kind, doc_id, score, field, ordinal,
+    count) — r6: batch callers accumulate rows across queries and
+    build ONE frame per task (per-query frame construction was ~25%
+    of the batch scoring loop).
 
     Batch mode (search_many): the caller passes ``groups_all`` (the
     task's blocks pre-grouped by term once) and a ``shared_decode``
@@ -507,9 +526,9 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
     present = [t for t in terms if t["term_id"] in groups]
     conj = mode in ("and", "phrase")  # phrase = conjunction + positional check
     if conj and len(present) < len(terms):
-        return _empty_out()
+        return []
     if not present:
-        return _empty_out()
+        return []
 
     # ---- conjunctive block skip: drop blocks not overlapping the rarest term's
     if conj and len(present) > 1 and shared_decode is None:
@@ -566,7 +585,7 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
         g = groups[tid]
         if len(g) == 0:
             if conj:
-                return _empty_out()
+                return []
             continue
         pre = None
         if tid in doc_cache:
@@ -583,7 +602,7 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
             shared_decode[tid] = decoded[tid]
     present = [t for t in present if t["term_id"] in decoded]
     if not present:
-        return _empty_out()
+        return []
 
     # ---- candidate doc set
     if conj:
@@ -591,7 +610,7 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
         for t in present[1:]:
             cand = np.intersect1d(cand, decoded[t["term_id"]][0], assume_unique=True)
             if cand.size == 0:
-                return _empty_out()
+                return []
     else:
         cand = np.unique(np.concatenate([decoded[t["term_id"]][0] for t in present]))
 
@@ -600,18 +619,16 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
     if deleted is not None and cand.size:
         cand = cand[~_sorted_member(deleted, cand)]
         if cand.size == 0 and n_hits_exact is None:
-            return _empty_out()
+            return []
         if cand.size == 0:
-            out = _empty_out()
-            out.loc[0] = (_K_STATS, -1, 0.0, "", -1, n_hits_exact)
-            return out
+            return [(_K_STATS, -1, 0.0, "", -1, n_hits_exact)]
 
     # ---- phrase: positional verification narrows the candidate set
     ptf = None
     if mode == "phrase":
         cand, ptf = _phrase_filter(groups, decoded, plan["phrase_ids"], cand)
         if cand.size == 0:
-            return _empty_out()
+            return []
 
     # ---- per-doc ordinals (needed for facet counts / ord-mode selections)
     lang_postings = plan.get("sel_lang_mode") == "postings"
@@ -736,7 +753,7 @@ def _segment_search(pdf: pd.DataFrame, plan: dict,
                         (_K_EXPL, int(d), float(v), "recency_boost", -1, 0))
     out_rows.append((_K_STATS, -1, 0.0, "", -1,
                      n_hits_exact if n_hits_exact is not None else n_local))
-    return pd.DataFrame(out_rows, columns=["kind", "doc_id", "score", "field", "ordinal", "count"])
+    return out_rows
 
 
 _EMPTY_OUT = pd.DataFrame(
@@ -1085,25 +1102,25 @@ class IndexReader:
             segs = sorted({g for t in tids for g in tid_segs.get(t, ())})
             dmap = (self._deleted_bc.value if self._deleted_bc is not None
                     else {})
-            outs = []
+            rows_all: list = []
             for g in segs:
-                o = _segment_search(
+                rows_all.extend(_segment_search_rows(
                     None, plan,
                     groups_all=_SegGroups(pdf_all, seg_slices[g]),
                     shared_decode=self._decode_shared.setdefault(g, {}),
-                    deleted=dmap.get(g))
-                if len(o):
-                    outs.append(o)
-            return (pd.concat(outs, ignore_index=True) if outs
+                    deleted=dmap.get(g)))
+            return (pd.DataFrame(rows_all, columns=_OUT_COLS) if rows_all
                     else _empty_out())
         src = (self._postings_full if plan["mode"] == "phrase"
                else self._postings)
         pdf = src.where(F.col("term_id").isin(tids)).toPandas()
         if not len(pdf):
             return _empty_out()
-        outs = [_segment_search(g, plan, self._deleted_bc)
-                for _, g in pdf.groupby("segment")]
-        return pd.concat(outs, ignore_index=True) if outs else _empty_out()
+        rows_all = []
+        for _, g in pdf.groupby("segment"):
+            rows_all.extend(_segment_search_rows(g, plan, self._deleted_bc))
+        return (pd.DataFrame(rows_all, columns=_OUT_COLS) if rows_all
+                else _empty_out())
 
     def _require_positions(self) -> None:
         """Plan-time guard: a phrase/section query against an index
@@ -1559,9 +1576,12 @@ class IndexReader:
                 # streams decode once (shared_decode) however many
                 # queries reference it — the measured per-task profile
                 # was ~40% repeated decode + ~30% per-query regrouping
-                outs = []
+                rows_all: list = []
+                qids: list = []
                 # one sort + one bulk decode per task: every query
-                # then scores against cache hits only
+                # then scores against cache hits only; output tuples
+                # accumulate across queries into ONE frame per task
+                # (per-query frame construction was ~25% of the loop)
                 shared, groups_all = _batch_group_decode(
                     pdf, need_lang=need_lang, need_ts=need_ts)
                 seg_deleted = _segment_deleted(deleted_bc, pdf)
@@ -1569,18 +1589,20 @@ class IndexReader:
                     tids = [t["term_id"] for t in plan["terms"] if t["term_id"] >= 0]
                     tids += plan.get("sel_lang_tids", []) + plan.get("sel_ts_tids", [])
                     if any(tid in groups_all for tid in tids):
-                        o = _segment_search(None, plan,
-                                            groups_all=groups_all,
-                                            shared_decode=shared,
-                                            deleted=seg_deleted)
-                        if len(o):
-                            o["qid"] = np.int32(qid)
-                            outs.append(o)
-                if not outs:
+                        rows = _segment_search_rows(None, plan,
+                                                    groups_all=groups_all,
+                                                    shared_decode=shared,
+                                                    deleted=seg_deleted)
+                        if rows:
+                            rows_all.extend(rows)
+                            qids.extend([qid] * len(rows))
+                if not rows_all:
                     e = _empty_out()
                     e["qid"] = pd.Series([], dtype="int32")
                     return e
-                return pd.concat(outs, ignore_index=True)
+                out = pd.DataFrame(rows_all, columns=_OUT_COLS)
+                out["qid"] = np.asarray(qids, dtype=np.int32)
+                return out
 
             if any(p["mode"] == "phrase" for _, p in runnable_plans):
                 self._require_positions()
