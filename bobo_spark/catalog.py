@@ -34,16 +34,14 @@ from dataclasses import dataclass, field
 TABLES = ("terms", "postings", "forward", "dict_lang", "dict_ts_bucket", "meta")
 
 
-def read_table_pdf(paths):
-    """Read a SMALL catalog table (dicts, terms, meta, idmap) straight
-    into pandas with pyarrow — zero Spark jobs. The catalog is
-    local-filesystem by design (see module docstring: the manifest is
-    plain `open()`/`os.replace`), so driver-direct table IO is valid
+def read_table_arrow(paths):
+    """Read a catalog table straight into ONE pyarrow Table — zero
+    Spark jobs (None when no files). The catalog is local-filesystem
+    by design (see module docstring: the manifest is plain
+    `open()`/`os.replace`), so driver-direct table IO is valid
     wherever the manifest itself is; schemas across files are
     promoted (missing columns -> null), matching Spark's
-    mergeSchema=true. Large tables (postings, forward) keep going
-    through Spark scans."""
-    import pandas as pd
+    mergeSchema=true."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -55,10 +53,20 @@ def read_table_pdf(paths):
         else:
             files.append(p)
     if not files:
-        return pd.DataFrame()
-    tbl = pa.concat_tables([pq.read_table(f) for f in files],
-                           promote_options="permissive")
-    return tbl.to_pandas()
+        return None
+    return pa.concat_tables([pq.read_table(f) for f in files],
+                            promote_options="permissive")
+
+
+def read_table_pdf(paths):
+    """Read a SMALL catalog table (dicts, terms, meta, idmap) straight
+    into pandas with pyarrow — zero Spark jobs (see
+    ``read_table_arrow``). Large tables (postings, forward) keep going
+    through Spark scans."""
+    import pandas as pd
+
+    tbl = read_table_arrow(paths)
+    return pd.DataFrame() if tbl is None else tbl.to_pandas()
 
 
 def write_table_pdf(pdf, path: str) -> None:

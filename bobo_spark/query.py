@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import bm25
-from .catalog import IndexCatalog, Snapshot, read_table_pdf
+from .catalog import IndexCatalog, Snapshot, read_table_arrow, read_table_pdf
 from .codecs import vb_decode
 from .tokenizer import tokenize
 
@@ -454,19 +454,26 @@ class _SegGroups:
     """Lazy per-term block-frame views over one segment's slice of the
     driver block cache (rows pre-sorted by first_doc) — dict-shaped
     for _segment_search's ``groups_all`` protocol, materializing a
-    frame only for terms a query actually touches."""
+    frame only for terms a query actually touches. Term lookup is a
+    searchsorted over the segment's tid-sorted run arrays (r6: the
+    per-run Python dict build was 0.86 s of the one-time cache build
+    at 457k runs; three numpy arrays per segment cost ~nothing)."""
 
-    __slots__ = ("_pdf", "_slices")
+    __slots__ = ("_pdf", "_tids", "_starts", "_ends")
 
-    def __init__(self, pdf: pd.DataFrame, slices: dict):
-        self._pdf, self._slices = pdf, slices
+    def __init__(self, pdf: pd.DataFrame, runs: tuple):
+        self._pdf = pdf
+        self._tids, self._starts, self._ends = runs
 
     def __contains__(self, tid) -> bool:
-        return tid in self._slices
+        i = np.searchsorted(self._tids, tid)
+        return i < len(self._tids) and self._tids[i] == tid
 
     def __getitem__(self, tid) -> pd.DataFrame:
-        s, e = self._slices[tid]
-        return self._pdf.iloc[s:e]
+        i = np.searchsorted(self._tids, tid)
+        if i >= len(self._tids) or self._tids[i] != tid:
+            raise KeyError(tid)
+        return self._pdf.iloc[int(self._starts[i]):int(self._ends[i])]
 
 
 def _segment_search(pdf: pd.DataFrame, plan: dict,
@@ -1042,12 +1049,36 @@ class IndexReader:
         if not getattr(self, "_driver_cache_ok", False):
             return None
         if self._postings_pd_cache is None:
-            pdf = self._postings_full.toPandas()
-            seg = pdf["segment"].to_numpy(np.int64)
-            tid = pdf["term_id"].to_numpy(np.int64)
-            fd = pdf["first_doc"].to_numpy(np.int64)
-            order = np.lexsort((fd, seg, tid))
-            pdf = pdf.iloc[order].reset_index(drop=True)
+            # r6: driver-direct pyarrow read + Arrow-side sort (the
+            # scan+collect this replaces was 2.4 s for 645k block rows
+            # at bench scale; arrow read+take is 0.9 s — the lexsorted
+            # take runs on Arrow buffers instead of 4.5M object
+            # pointers) — valid exactly where the catalog manifest
+            # itself is (local filesystem by design, see
+            # catalog.read_table_arrow); the toPandas fallback keeps
+            # remote-fs layouts working
+            try:
+                import pyarrow as pa
+
+                tbl = read_table_arrow(
+                    self.catalog.table_paths(self.snap, "postings"))
+                if tbl is None or "segment" not in tbl.column_names:
+                    raise ValueError("postings read missing columns")
+                seg = tbl.column("segment").to_numpy(
+                    zero_copy_only=False).astype(np.int64, copy=False)
+                tid = tbl.column("term_id").to_numpy(
+                    zero_copy_only=False).astype(np.int64, copy=False)
+                fd = tbl.column("first_doc").to_numpy(
+                    zero_copy_only=False).astype(np.int64, copy=False)
+                order = np.lexsort((fd, seg, tid))
+                pdf = tbl.take(pa.array(order)).to_pandas()
+            except Exception:
+                pdf = self._postings_full.toPandas()
+                seg = pdf["segment"].to_numpy(np.int64)
+                tid = pdf["term_id"].to_numpy(np.int64)
+                fd = pdf["first_doc"].to_numpy(np.int64)
+                order = np.lexsort((fd, seg, tid))
+                pdf = pdf.iloc[order].reset_index(drop=True)
             tid_s, seg_s = tid[order], seg[order]
             n = len(pdf)
             change = (np.flatnonzero((np.diff(tid_s) != 0)
@@ -1055,15 +1086,34 @@ class IndexReader:
                       if n else np.zeros(0, dtype=np.int64))
             starts = np.concatenate(([0], change)) if n else change
             ends = np.concatenate((change, [n])) if n else change
-            seg_slices: dict[int, dict[int, tuple[int, int]]] = {}
-            tid_span: dict[int, tuple[int, int]] = {}
-            tid_segs: dict[int, list[int]] = {}
-            for s0, e0 in zip(starts, ends):
-                t, g = int(tid_s[s0]), int(seg_s[s0])
-                seg_slices.setdefault(g, {})[t] = (int(s0), int(e0))
-                tid_segs.setdefault(t, []).append(g)
-                f = tid_span.get(t)
-                tid_span[t] = (int(s0) if f is None else f[0], int(e0))
+            # fully vectorized index structures (the per-run Python
+            # loop this replaces was 0.86 s at 457k runs):
+            run_tids = tid_s[starts] if n else np.zeros(0, dtype=np.int64)
+            run_segs = seg_s[starts] if n else np.zeros(0, dtype=np.int64)
+            # runs are tid-major, so each term's runs are contiguous
+            u_tids, first_run = np.unique(run_tids, return_index=True)
+            last_run = (np.concatenate((first_run[1:], [len(run_tids)])) - 1
+                        if len(u_tids) else first_run)
+            tid_span: dict[int, tuple[int, int]] = dict(zip(
+                u_tids.tolist(),
+                zip(starts[first_run].tolist(), ends[last_run].tolist())))
+            tid_segs: dict[int, list[int]] = dict(zip(
+                u_tids.tolist(),
+                (a.tolist() for a in np.split(run_segs, first_run[1:]))))
+            # per-segment tid-sorted run arrays for _SegGroups
+            run_order = np.lexsort((run_tids, run_segs))
+            rs = run_segs[run_order]
+            seg_change = (np.flatnonzero(np.diff(rs) != 0) + 1
+                          if len(rs) else np.zeros(0, dtype=np.int64))
+            seg_bounds = np.concatenate(([0], seg_change, [len(rs)]))
+            seg_slices: dict[int, tuple] = {}
+            for i in range(len(seg_bounds) - 1):
+                a, b = int(seg_bounds[i]), int(seg_bounds[i + 1])
+                if a == b:
+                    continue
+                idx = run_order[a:b]
+                seg_slices[int(rs[a])] = (run_tids[idx], starts[idx],
+                                          ends[idx])
             self._postings_pd_cache = (pdf, seg_slices, tid_span, tid_segs)
             self._decode_shared: dict[int, dict] = {}
         return self._postings_pd_cache

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -86,6 +87,9 @@ def main() -> int:
         reader = IndexReader(spark, idx)
         assert reader.n_docs == n_docs
     except Exception:
+        # a stale index of another N (or one mutated by delete/merge)
+        # would be treated as a parent and APPENDED to — clear first
+        shutil.rmtree(idx, ignore_errors=True)
         build_snapshot(spark, spark.read.parquet(src), idx,
                        BuildConfig(docs_per_segment=max(2000, n_docs // 64)))
         reader = IndexReader(spark, idx)
