@@ -277,12 +277,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
     Bands of r = k/bands rows; docs sharing any band bucket become
     candidates; est_jaccard = matching signature fraction; pairs kept
-    at est_jaccard >= threshold. Shuffle cost: one exchange on
-    band_hash. ``max_bucket_size`` caps within-bucket expansion (see
-    ``_bucket_pairs``) — capped by DEFAULT (the scale-safe path);
-    pass None for the exact uncapped oracle variant."""
+    at est_jaccard >= threshold. ``max_bucket_size`` caps
+    within-bucket expansion via min-id representative pairing (the
+    ``_bucket_pairs`` policy) — capped by DEFAULT (the scale-safe
+    path); pass None for the exact uncapped oracle variant.
+
+    r6: candidates are generated and scored INSIDE a per-(band,
+    bucket) pandas kernel instead of a bucket self-join — one exchange
+    moves each (id, sig) once per band, the signature kernel upstream
+    is evaluated ONCE (the join evaluated it per branch), and the
+    capped path needs no bucket-sizes join. The kernel's match count
+    over the same int64 signatures reproduces the previous
+    ``zip_with`` comparison exactly; it pre-filters at threshold minus
+    the round-off bound (6e-5 > the 5e-5 a 4-decimal HALF_UP round
+    can move a value) and the authoritative
+    ``round(est,4) >= threshold`` filter stays a Spark expression, so
+    results are identical to the join formulation (oracle-verified)."""
+    import pandas as pd
+
     r = k // bands
     sigs = minhash_signatures(df, id_col, text_col, n, k)
+    id_type = dict(df.dtypes)[id_col]
     banded = sigs.select(
         F.col(id_col).alias("id"),
         F.col("minhash").alias("sig"),
@@ -298,11 +313,68 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
-    pairs = _bucket_pairs(banded, max_bucket_size)
-    est = F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
-                                     lambda x, y: x == y), lambda z: z)) / F.lit(float(k))
+    margin = threshold - 6e-5
+    kf = float(k)
+    nbands = bands
+
+    def part_pairs(batches):
+        # one kernel invocation per shuffle PARTITION (mapInPandas,
+        # not per-group applyInPandas): singleton buckets — the vast
+        # majority — are skipped by a vectorized size mask instead of
+        # each paying a per-group Arrow dispatch (measured ~1 ms each
+        # at 20k multi-member buckets)
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if not len(pdf):
+            return
+        bcodes = pd.factorize(pdf["bucket"])[0].astype(np.int64)
+        gcode = bcodes * nbands + pdf["band"].to_numpy(np.int64)
+        ids = pdf["id"].to_numpy()
+        order = np.lexsort((ids, gcode))
+        ids = ids[order]
+        gc = gcode[order]
+        bnd = np.flatnonzero(np.diff(gc) != 0) + 1
+        gstarts = np.concatenate(([0], bnd))
+        gends = np.concatenate((bnd, [len(gc)]))
+        sizes = gends - gstarts
+        multi = np.flatnonzero(sizes >= 2)
+        if not len(multi):
+            return
+        S_all = np.stack(pdf["sig"].to_numpy()[order]).astype(
+            np.int64, copy=False)
+        out_a, out_b, out_e = [], [], []
+        for gi in multi:
+            s0, e0 = gstarts[gi], gends[gi]
+            c = int(e0 - s0)
+            gids = ids[s0:e0]
+            S = S_all[s0:e0]
+            if max_bucket_size is not None and c > max_bucket_size:
+                # representative pairing: min-id row vs every other
+                m = (S[0:1] == S[1:]).sum(axis=1)
+                ia = np.zeros(c - 1, dtype=np.int64)
+                ib = np.arange(1, c)
+            else:
+                ia, ib = np.triu_indices(c, k=1)
+                m = (S[ia] == S[ib]).sum(axis=1)
+            est = m / kf
+            keep = est >= margin
+            if keep.any():
+                out_a.append(gids[ia[keep]])
+                out_b.append(gids[ib[keep]])
+                out_e.append(est[keep])
+        if out_a:
+            yield pd.DataFrame({"id_a": np.concatenate(out_a),
+                                "id_b": np.concatenate(out_b),
+                                "est_jaccard": np.concatenate(out_e)})
+
+    pairs = banded.repartition("band", "bucket").mapInPandas(
+        part_pairs,
+        schema=f"id_a {id_type}, id_b {id_type}, est_jaccard double")
     return (
-        pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        pairs.select("id_a", "id_b",
+                     F.round("est_jaccard", 4).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
         .distinct()
     )
@@ -392,7 +464,10 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str =
     ``max_bucket_size`` caps within-bucket expansion (min-id
     representative fallback, see ``_bucket_pairs``) — capped by
     DEFAULT; pass None for the exact uncapped oracle variant."""
+    import pandas as pd
+
     sig = simhash64(df, id_col, text_col)
+    id_type = dict(df.dtypes)[id_col]
     banded = sig.select(
         F.col(id_col).alias("id"), F.col("simhash").alias("sig"),
         F.explode(F.array(*[
@@ -401,10 +476,72 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str =
             for i in range(4)
         ])).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
-    pairs = _bucket_pairs(banded, max_bucket_size)
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # null simhash (null text) never matches anything (the old join's
+    # `null <= max_hamming` filter dropped such pairs); filtering
+    # BEFORE the Python boundary also keeps the sig column non-null
+    # int64 in pandas (a nullable bigint would arrive as float64 and
+    # lose 60-bit precision)
+    banded = banded.where(F.col("sig").isNotNull())
+
+    # r6: per-partition pandas kernel (mapInPandas over one
+    # (band, bucket) hash exchange) instead of a bucket self-join —
+    # the signature subtree is evaluated once, no bucket-sizes join on
+    # the capped path, and singleton buckets are skipped by a
+    # vectorized size mask (see minhash_lsh_pairs). popcount(xor) over
+    # the same int64 simhashes is exact integer arithmetic — identical
+    # to Spark's bit_count — and the authoritative hamming filter
+    # stays a Spark expression.
+    def part_pairs(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if not len(pdf):
+            return
+        gcode = (pdf["bucket"].to_numpy(np.int64) * 4
+                 + pdf["band"].to_numpy(np.int64))
+        ids = pdf["id"].to_numpy()
+        order = np.lexsort((ids, gcode))
+        ids = ids[order]
+        gc = gcode[order]
+        s_all = pdf["sig"].to_numpy()[order].astype(np.int64, copy=False)
+        bnd = np.flatnonzero(np.diff(gc) != 0) + 1
+        gstarts = np.concatenate(([0], bnd))
+        gends = np.concatenate((bnd, [len(gc)]))
+        multi = np.flatnonzero(gends - gstarts >= 2)
+        if not len(multi):
+            return
+        out_a, out_b, out_h = [], [], []
+        for gi in multi:
+            s0, e0 = gstarts[gi], gends[gi]
+            c = int(e0 - s0)
+            gids = ids[s0:e0]
+            s = s_all[s0:e0]
+            if max_bucket_size is not None and c > max_bucket_size:
+                ia = np.zeros(c - 1, dtype=np.int64)
+                ib = np.arange(1, c)
+                x = np.bitwise_xor(s[0], s[1:])
+            else:
+                ia, ib = np.triu_indices(c, k=1)
+                x = np.bitwise_xor(s[ia], s[ib])
+            ham = np.unpackbits(
+                x.astype(np.uint64).view(np.uint8).reshape(-1, 8),
+                axis=1).sum(axis=1).astype(np.int32)
+            keep = ham <= max_hamming
+            if keep.any():
+                out_a.append(gids[ia[keep]])
+                out_b.append(gids[ib[keep]])
+                out_h.append(ham[keep])
+        if out_a:
+            yield pd.DataFrame({"id_a": np.concatenate(out_a),
+                                "id_b": np.concatenate(out_b),
+                                "hamming": np.concatenate(out_h)})
+
+    pairs = banded.repartition("band", "bucket").mapInPandas(
+        part_pairs, schema=f"id_a {id_type}, id_b {id_type}, hamming int")
     return (
-        pairs.select("id_a", "id_b", ham.alias("hamming"))
+        pairs.select("id_a", "id_b",
+                     F.col("hamming").cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
