@@ -232,7 +232,9 @@ def _build_dict(agg: pd.DataFrame, parent_dict: pd.DataFrame | None) -> pd.DataF
 
 
 def assign_sorted_ids(terms: DataFrame, spark: SparkSession, id_base: int = 0, n_parts: int | None = None,
-                      driver_threshold: int = 1_000_000) -> DataFrame:
+                      driver_threshold: int = 1_000_000,
+                      as_pandas: bool = False,
+                      max_rows_hint: int | None = None):
     """Dense ids by global sort order — distributed two-pass rank.
 
     Pass 1 counts rows per range partition; pass 2 assigns
@@ -248,20 +250,37 @@ def assign_sorted_ids(terms: DataFrame, spark: SparkSession, id_base: int = 0, n
     collect replaces sample + shuffle + counts + assign. Ranks are
     identical — pandas sorts by code point and Spark's UTF8String by
     UTF-8 bytes, and UTF-8 byte order IS code-point order.
+
+    ``max_rows_hint``: a caller-known UPPER BOUND on the row count
+    (e.g. the merge's parent dictionary size) lets the driver path
+    skip the persist+count job and pull directly. ``as_pandas``: on
+    the driver path return the pandas frame itself so small callers
+    can write it with zero further Spark jobs (the distributed path
+    always returns a DataFrame — check the type).
     """
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
         list(terms.schema.fields) + [T.StructField("term_id", T.LongType(), False)]
     )
-    terms = terms.persist()
-    n_rows = terms.count()
-    if n_rows <= driver_threshold:
+    pdf = None
+    if max_rows_hint is not None and max_rows_hint <= driver_threshold:
         pdf = terms.toPandas()
-        terms.unpersist()
+        n_rows = len(pdf)
+        if n_rows > driver_threshold:  # hint lied: bound driver memory
+            pdf = None
+    if pdf is None:
+        terms = terms.persist()
+        n_rows = terms.count()
+    if n_rows <= driver_threshold:
+        if pdf is None:
+            pdf = terms.toPandas()
+            terms.unpersist()
         pdf = pdf.sort_values("term", ignore_index=True)
         pdf = pdf[[f.name for f in out_schema.fields[:-1]]]
         pdf["term_id"] = id_base + np.arange(n_rows, dtype=np.int64)
+        if as_pandas:
+            return pdf
         return spark.createDataFrame(pdf, schema=out_schema)
     if n_parts is None:
         n_parts = max(8, spark.sparkContext.defaultParallelism)
@@ -876,9 +895,16 @@ def build_snapshot(
             max_id = old.agg(F.max("term_id")).collect()[0][0] or -1
             novel_ids = assign_sorted_ids(novel, spark, id_base=max_id + 1)
             full = known.unionByName(novel_ids)
+            full.write.mode("overwrite").parquet(terms_path)
         else:
-            full = assign_sorted_ids(delta_terms, spark, id_base=0)
-        full.write.mode("overwrite").parquet(terms_path)
+            full = assign_sorted_ids(delta_terms, spark, id_base=0,
+                                     as_pandas=True)
+            if isinstance(full, pd.DataFrame):
+                # driver-resident dictionary: local parquet write, no
+                # round-trip through a scheduled Spark job
+                write_table_pdf(full, terms_path)
+            else:
+                full.write.mode("overwrite").parquet(terms_path)
         mark("terms")
 
     terms = spark.read.parquet(terms_path)

@@ -324,13 +324,24 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
         renamed = joined.mapInPandas(
             rename_sentinels,
             schema="old_id long, df long, cf long, term string")
-        with_ids = assign_sorted_ids(renamed, spark, id_base=0)
-        with_ids.persist()
-        (with_ids.select("term", "df", "cf", "term_id")
-         .write.mode("overwrite").parquet(terms_path))
-        (with_ids.select("old_id", "term_id")
-         .write.mode("overwrite").parquet(idmap_path))
-        with_ids.unpersist()
+        # survivors are a subset of the parent dictionary, so its
+        # n_terms is a true upper bound — lets assign_sorted_ids skip
+        # the count job and, when small, return a driver-resident
+        # frame both tables are written from with zero Spark jobs
+        with_ids = assign_sorted_ids(
+            renamed, spark, id_base=0, as_pandas=True,
+            max_rows_hint=parent.stats.get("n_terms"))
+        if isinstance(with_ids, pd.DataFrame):
+            write_table_pdf(with_ids[["term", "df", "cf", "term_id"]],
+                            terms_path)
+            write_table_pdf(with_ids[["old_id", "term_id"]], idmap_path)
+        else:
+            with_ids.persist()
+            (with_ids.select("term", "df", "cf", "term_id")
+             .write.mode("overwrite").parquet(terms_path))
+            (with_ids.select("old_id", "term_id")
+             .write.mode("overwrite").parquet(idmap_path))
+            with_ids.unpersist()
         mark("terms")
 
     terms = spark.read.parquet(terms_path)
