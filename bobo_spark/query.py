@@ -1600,10 +1600,47 @@ class IndexReader:
             and not (p["mode"] in ("and", "phrase")
                      and any(t["term_id"] < 0 for t in p["terms"]))
         ]
-        results: list[SearchResult | None] = [None] * len(reqs)
         out_schema = OUT_SCHEMA + ", qid int"
         if all_tids and runnable:
             runnable_plans = [(i, plans[i]) for i in runnable]
+            if any(p["mode"] == "phrase" for _, p in runnable_plans):
+                self._require_positions()
+            cached = self._postings_driver()
+            if cached is not None:
+                # r6: whole-batch driver path from the in-driver block
+                # cache — zero Spark jobs; same per-segment
+                # _segment_search_rows protocol (groups_all + shared
+                # decode) the distributed tasks run, same vectorized
+                # merge below, so results are identical
+                # (property-tested both ways). Web-scale indexes exceed
+                # the cache gate and keep the distributed batch.
+                pdf_all, seg_slices, _tid_span, tid_segs = cached
+                dmap = (self._deleted_bc.value
+                        if self._deleted_bc is not None else {})
+                segs = sorted({g for t in all_tids
+                               for g in tid_segs.get(t, ())})
+                rows_all: list = []
+                qids: list = []
+                for g in segs:
+                    groups_all = _SegGroups(pdf_all, seg_slices[g])
+                    shared = self._decode_shared.setdefault(g, {})
+                    seg_deleted = dmap.get(g)
+                    for qid, plan in runnable_plans:
+                        tids = [t["term_id"] for t in plan["terms"]
+                                if t["term_id"] >= 0]
+                        tids += (plan.get("sel_lang_tids", [])
+                                 + plan.get("sel_ts_tids", []))
+                        if any(tid in groups_all for tid in tids):
+                            rows = _segment_search_rows(
+                                None, plan, groups_all=groups_all,
+                                shared_decode=shared, deleted=seg_deleted)
+                            if rows:
+                                rows_all.extend(rows)
+                                qids.extend([qid] * len(rows))
+                out = pd.DataFrame(rows_all, columns=_OUT_COLS)
+                out["qid"] = (np.asarray(qids, dtype=np.int32) if qids
+                              else pd.Series([], dtype="int32"))
+                return self._merge_batch_results(reqs, plans, out)
             deleted_bc = self._deleted_bc
             # exact per-batch stream needs: skip an ordinal stream's
             # decode (1/5 of the memory-bound bytes) when NO plan in
@@ -1704,6 +1741,14 @@ class IndexReader:
         else:
             out = pd.DataFrame(columns=["kind", "doc_id", "score", "field",
                                         "ordinal", "count", "qid"])
+        return self._merge_batch_results(reqs, plans, out)
+
+    def _merge_batch_results(self, reqs: list[SearchRequest], plans: list,
+                             out: pd.DataFrame) -> list:
+        """Assemble per-query SearchResults from the batch output
+        frame — shared by the distributed batch and the driver-cache
+        batch path (identical input shape, identical results)."""
+        results: list[SearchResult | None] = [None] * len(reqs)
         # ---- driver merge, VECTORIZED by qid: every per-query
         # quantity comes from ONE grouped pass over the collected
         # frame (the per-query boolean-mask loop this replaces scanned

@@ -86,3 +86,32 @@ def test_batch_explain_empty_result_matches_single(reader):
     assert single.explanations is not None and len(single.explanations) == 0
     assert batch.explanations is not None and len(batch.explanations) == 0
     assert list(batch.explanations.columns) == list(single.explanations.columns)
+
+
+def test_batch_distributed_path_equals_driver_cache_path(spark, tmp_path_factory):
+    """search_many serves small indexes from the in-driver block cache
+    (zero Spark jobs); an uncached reader must take the distributed
+    batch and return identical results — this is the only coverage the
+    distributed path gets now that every small test index is cached."""
+    d = str(tmp_path_factory.mktemp("idx_many_nc"))
+    build_snapshot(spark, webpages(spark, 800, 5), d,
+                   BuildConfig(docs_per_segment=200, block_size=64))
+    cached = IndexReader(spark, d)
+    uncached = IndexReader(spark, d, cache=False)
+    assert cached._postings_driver() is not None
+    assert uncached._postings_driver() is None
+    qs = reference_queryset(make_vocab(), n_conj=4, n_disj=4, n_lang=2, n_ts=2)
+    reqs = [
+        SearchRequest(query=q["query"], mode=q.get("mode", "and"), k=10,
+                      facets=("lang",), selections=q.get("selections", {}),
+                      ts_range=q.get("ts_range"))
+        for q in qs
+    ] + [SearchRequest(query="ba be", mode="phrase", k=10)]
+    a = cached.search_many(reqs)
+    b = uncached.search_many(reqs)
+    for ra, rb in zip(a, b):
+        assert ra.hits["doc_id"].tolist() == rb.hits["doc_id"].tolist()
+        assert ra.hits["score"].tolist() == rb.hits["score"].tolist()
+        assert ra.num_hits == rb.num_hits
+        for f in ra.facets:
+            assert ra.facets[f].values.tolist() == rb.facets[f].values.tolist()
