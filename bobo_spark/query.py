@@ -815,9 +815,17 @@ class IndexReader:
             self._postings = self._postings.persist()
             # small dictionaries also live driver-side: term lookup then
             # costs zero Spark jobs (adaptive — falls back to a filtered
-            # scan when the dictionary is web-scale)
+            # scan when the dictionary is web-scale). r6: the pull
+            # itself is a driver-direct parquet read (no scheduled
+            # scan+collect job per reader open); same local-fs validity
+            # as the facet dictionary reads below
             if self.snap.stats.get("n_terms", 1 << 62) <= 2_000_000:
-                self._terms_pd = self._terms.select("term", "term_id", "df").toPandas()
+                try:
+                    self._terms_pd = read_table_pdf(self.catalog.table_paths(
+                        self.snap, "terms"))[["term", "term_id", "df"]]
+                except Exception:
+                    self._terms_pd = self._terms.select(
+                        "term", "term_id", "df").toPandas()
         # facet dictionaries are page-scale — driver-direct parquet
         # read (zero Spark jobs per reader open; see catalog.read_table_pdf)
         self.dicts = {
