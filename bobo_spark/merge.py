@@ -42,8 +42,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .build import (POSTINGS_SCHEMA, _encode_partition, assign_sorted_ids,
-                    pack_meta)
+from .build import (POSTINGS_SCHEMA, _encode_partition, _small_table_pdf,
+                    assign_sorted_ids, pack_meta)
 from .catalog import IndexCatalog, Snapshot, read_table_pdf, write_table_pdf
 from .codecs import binary_array, binary_parts, vb_decode, vb_encode_segmented
 # shared with the query engine on purpose: a codec change that reaches
@@ -231,14 +231,35 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
     fwd = spark.read.parquet(*cat.table_paths(parent, "forward"))
     surv_fwd = fwd if del_df is None else fwd.join(del_df, "doc_id", "left_anti")
     if "dicts" not in snap.stages:
-        # one job for both fields: unpivot (field, ord) then count
-        agg = (surv_fwd.selectExpr(
-            "doc_id",
-            "stack(2, 'lang', lang_ord, 'ts', ts_ord) AS (field, ord)")
-            .groupBy("field", "ord")
-            .agg(F.count("*").alias("df"), F.min("doc_id").alias("min_doc"),
-                 F.max("doc_id").alias("max_doc"))
-            .toPandas())
+        # r6: driver twin under the shared 64 MB file-size gate — the
+        # forward table is a catalog table, so the same pyarrow read
+        # the dictionaries use serves the (field, ord) counts with
+        # zero Spark jobs; big forwards keep the distributed agg
+        fpd = _small_table_pdf(cat.table_paths(parent, "forward"))
+        if fpd is not None:
+            if del_df is not None and del_bc.value:
+                dead = np.concatenate(list(del_bc.value.values()))
+                fpd = fpd[~fpd["doc_id"].isin(dead)]
+            parts = []
+            for fld, col in (("lang", "lang_ord"), ("ts", "ts_ord")):
+                g = (fpd.groupby(col)["doc_id"]
+                     .agg(["count", "min", "max"]).reset_index())
+                parts.append(pd.DataFrame({
+                    "field": fld, "ord": g[col].astype(np.int64),
+                    "df": g["count"].astype(np.int64),
+                    "min_doc": g["min"].astype(np.int64),
+                    "max_doc": g["max"].astype(np.int64)}))
+            agg = pd.concat(parts, ignore_index=True)
+        else:
+            # one job for both fields: unpivot (field, ord) then count
+            agg = (surv_fwd.selectExpr(
+                "doc_id",
+                "stack(2, 'lang', lang_ord, 'ts', ts_ord) AS (field, ord)")
+                .groupBy("field", "ord")
+                .agg(F.count("*").alias("df"),
+                     F.min("doc_id").alias("min_doc"),
+                     F.max("doc_id").alias("max_doc"))
+                .toPandas())
         lang_rows = agg[agg["field"] == "lang"]
         snap.stats["n_docs"] = int(lang_rows["df"].sum())
         if snap.stats["n_docs"] == 0:
