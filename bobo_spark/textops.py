@@ -352,18 +352,31 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
             S = S_all[s0:e0]
             if max_bucket_size is not None and c > max_bucket_size:
                 # representative pairing: min-id row vs every other
-                m = (S[0:1] == S[1:]).sum(axis=1)
-                ia = np.zeros(c - 1, dtype=np.int64)
-                ib = np.arange(1, c)
-            else:
+                est = (S[0:1] == S[1:]).sum(axis=1) / kf
+                keep = est >= margin
+                if keep.any():
+                    out_a.append(np.repeat(gids[0], int(keep.sum())))
+                    out_b.append(gids[1:][keep])
+                    out_e.append(est[keep])
+            elif c <= 512:
                 ia, ib = np.triu_indices(c, k=1)
-                m = (S[ia] == S[ib]).sum(axis=1)
-            est = m / kf
-            keep = est >= margin
-            if keep.any():
-                out_a.append(gids[ia[keep]])
-                out_b.append(gids[ib[keep]])
-                out_e.append(est[keep])
+                est = (S[ia] == S[ib]).sum(axis=1) / kf
+                keep = est >= margin
+                if keep.any():
+                    out_a.append(gids[ia[keep]])
+                    out_b.append(gids[ib[keep]])
+                    out_e.append(est[keep])
+            else:
+                # big uncapped bucket (oracle variant — O(c²) BY
+                # SPEC): per-anchor rows instead of one triu block, so
+                # the temp is O(c·k), never a multi-GB c²-wide array
+                for a0 in range(c - 1):
+                    est = (S[a0:a0 + 1] == S[a0 + 1:]).sum(axis=1) / kf
+                    keep = est >= margin
+                    if keep.any():
+                        out_a.append(np.repeat(gids[a0], int(keep.sum())))
+                        out_b.append(gids[a0 + 1:][keep])
+                        out_e.append(est[keep])
         if out_a:
             yield pd.DataFrame({"id_a": np.concatenate(out_a),
                                 "id_b": np.concatenate(out_b),
@@ -512,26 +525,45 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str =
         if not len(multi):
             return
         out_a, out_b, out_h = [], [], []
+
+        def popcount(x):
+            return np.unpackbits(
+                x.astype(np.uint64).view(np.uint8).reshape(-1, 8),
+                axis=1).sum(axis=1).astype(np.int32)
+
         for gi in multi:
             s0, e0 = gstarts[gi], gends[gi]
             c = int(e0 - s0)
             gids = ids[s0:e0]
             s = s_all[s0:e0]
             if max_bucket_size is not None and c > max_bucket_size:
-                ia = np.zeros(c - 1, dtype=np.int64)
-                ib = np.arange(1, c)
-                x = np.bitwise_xor(s[0], s[1:])
-            else:
+                ham = popcount(np.bitwise_xor(s[0], s[1:]))
+                keep = ham <= max_hamming
+                if keep.any():
+                    out_a.append(np.repeat(gids[0], int(keep.sum())))
+                    out_b.append(gids[1:][keep])
+                    out_h.append(ham[keep])
+            elif c <= 1024:
                 ia, ib = np.triu_indices(c, k=1)
-                x = np.bitwise_xor(s[ia], s[ib])
-            ham = np.unpackbits(
-                x.astype(np.uint64).view(np.uint8).reshape(-1, 8),
-                axis=1).sum(axis=1).astype(np.int32)
-            keep = ham <= max_hamming
-            if keep.any():
-                out_a.append(gids[ia[keep]])
-                out_b.append(gids[ib[keep]])
-                out_h.append(ham[keep])
+                ham = popcount(np.bitwise_xor(s[ia], s[ib]))
+                keep = ham <= max_hamming
+                if keep.any():
+                    out_a.append(gids[ia[keep]])
+                    out_b.append(gids[ib[keep]])
+                    out_h.append(ham[keep])
+            else:
+                # big uncapped bucket (oracle variant — O(c²) BY
+                # SPEC): per-anchor rows bound the temp to O(c), never
+                # a c²-wide pair block (15-bit simhash bands collide by
+                # construction, so giant buckets are reachable even
+                # without giant dup clusters)
+                for a0 in range(c - 1):
+                    ham = popcount(np.bitwise_xor(s[a0], s[a0 + 1:]))
+                    keep = ham <= max_hamming
+                    if keep.any():
+                        out_a.append(np.repeat(gids[a0], int(keep.sum())))
+                        out_b.append(gids[a0 + 1:][keep])
+                        out_h.append(ham[keep])
         if out_a:
             yield pd.DataFrame({"id_a": np.concatenate(out_a),
                                 "id_b": np.concatenate(out_b),
