@@ -217,16 +217,22 @@ def _decode_docs_blocks(b: pd.DataFrame):
 def _decode_term_blocks(b: pd.DataFrame, docs: np.ndarray | None = None):
     """Decode all blocks of one term (sorted by first_doc) at once.
 
-    Returns (docs, tf, dl, lang, ts) int64 arrays, docs ascending.
-    ``docs`` may be passed pre-decoded (pruned-OR mode reuses the
-    counting pass's docID decode instead of paying it twice).
+    Returns (docs, tf, dl, lang, ts); docs are int64 ascending
+    (global ids can exceed 32 bits at web scale), the per-posting
+    streams are int32 — tf/dl are 16-bit-clamped at encode
+    (pack_meta) and the ordinal spaces are small, so int32 is always
+    sufficient and halves the decode cache's memory traffic (the
+    batch stage's measured residual). All consumers promote to
+    int64/float64 at use. ``docs`` may be passed pre-decoded
+    (pruned-OR mode reuses the counting pass's docID decode instead
+    of paying it twice).
     """
     if docs is None:
         docs = _decode_docs(b)
-    tf = vb_decode(_cat_bytes(b["tf_bytes"])).astype(np.int64)
-    dl = vb_decode(_cat_bytes(b["dl_bytes"])).astype(np.int64)
-    lang = vb_decode(_cat_bytes(b["lang_bytes"])).astype(np.int64)
-    ts = vb_decode(_cat_bytes(b["ts_bytes"])).astype(np.int64)
+    tf = vb_decode(_cat_bytes(b["tf_bytes"])).astype(np.int32)
+    dl = vb_decode(_cat_bytes(b["dl_bytes"])).astype(np.int32)
+    lang = vb_decode(_cat_bytes(b["lang_bytes"])).astype(np.int32)
+    ts = vb_decode(_cat_bytes(b["ts_bytes"])).astype(np.int32)
     return docs, tf, dl, lang, ts
 
 
@@ -238,12 +244,14 @@ def _decode_positions(b: pd.DataFrame, tf: np.ndarray) -> np.ndarray:
     order): per posting, first position absolute then gaps — recovered
     with one segmented cumsum over the concatenated buffers."""
     vals = vb_decode(_cat_bytes(b["pos_bytes"])).astype(np.int64)
-    total = int(tf.sum())
+    total = int(tf.sum(dtype=np.int64))
     if vals.size != total:
         raise ValueError(
             "positions stream missing or truncated — index built with "
             "store_positions=False cannot serve phrase queries")
-    starts = np.cumsum(tf) - tf
+    # int64 accumulator: tf is int32 and a task-level position total
+    # can exceed 32 bits at scale
+    starts = np.cumsum(tf, dtype=np.int64) - tf
     cums = np.cumsum(vals)
     base = cums[starts] - vals[starts]  # sum of values before each run
     return cums - np.repeat(base, tf)
@@ -431,11 +439,12 @@ def _batch_group_decode(pdf: pd.DataFrame, need_lang: bool = True,
     ends = np.concatenate((bnd, [len(b)]))
     nds = b["n_docs"].to_numpy(np.int64)
     docs = _decode_docs(b)  # per-block rebase is term-agnostic
-    tf = vb_decode(_cat_bytes(b["tf_bytes"])).astype(np.int64)
-    dl = vb_decode(_cat_bytes(b["dl_bytes"])).astype(np.int64)
-    lang = (vb_decode(_cat_bytes(b["lang_bytes"])).astype(np.int64)
+    # int32 streams: same width rationale as _decode_term_blocks
+    tf = vb_decode(_cat_bytes(b["tf_bytes"])).astype(np.int32)
+    dl = vb_decode(_cat_bytes(b["dl_bytes"])).astype(np.int32)
+    lang = (vb_decode(_cat_bytes(b["lang_bytes"])).astype(np.int32)
             if need_lang else None)
-    ts = (vb_decode(_cat_bytes(b["ts_bytes"])).astype(np.int64)
+    ts = (vb_decode(_cat_bytes(b["ts_bytes"])).astype(np.int32)
           if need_ts else None)
     el = np.concatenate(([0], np.cumsum(nds)))
     shared: dict = {}
@@ -1411,7 +1420,7 @@ class IndexReader:
                 else:
                     g_pos = any(len(x) for x in col)
                 pos = _decode_positions(g, tf) if g_pos else None
-                starts = np.cumsum(tf) - tf
+                starts = np.cumsum(tf, dtype=np.int64) - tf
                 sel = np.flatnonzero(np.isin(docs, ids_arr))
                 for i in sel:
                     ps = ("," .join(map(str, pos[starts[i]:starts[i] + tf[i]]))
