@@ -133,3 +133,26 @@ def test_ivf_centroids_deterministic(spark, ivf_index):
     one = simsearch.ivf_topk(spark, d, [1.0] * 64, k=10**6, nprobe=1).count()
     allp = simsearch.ivf_topk(spark, d, [1.0] * 64, k=10**6, nprobe=8).count()
     assert allp == emb.count() and one <= allp
+
+
+def test_uncapped_big_bucket_anchor_path(spark):
+    """Uncapped buckets past the triu-block size limit (512 for
+    minhash, 1024 for simhash) take the per-anchor chunked path —
+    it must produce the exact full O(c^2) expansion."""
+    c = 600
+    rows = [(i, "same duplicated payload for the anchor path test") for i in range(c)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = textops.minhash_lsh_pairs(docs, threshold=0.9,
+                                      max_bucket_size=None).toPandas()
+    assert len(pairs) == c * (c - 1) // 2
+    assert (pairs["est_jaccard"] == 1.0).all()
+    # every doc participates, smallest anchor covers c-1 pairs
+    assert (pairs["id_a"] == 0).sum() == c - 1
+
+    c2 = 1100
+    rows2 = [(i, "identical simhash family page") for i in range(c2)]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    sp = textops.simhash_neardup_pairs(docs2, max_hamming=0,
+                                       max_bucket_size=None).toPandas()
+    assert len(sp) == c2 * (c2 - 1) // 2
+    assert (sp["hamming"] == 0).all()
