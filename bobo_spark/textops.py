@@ -227,14 +227,20 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def _bucket_pairs(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
-    """Candidate pairs from a banded frame (id, sig, band, bucket) —
+    """REFERENCE formulation (join-based) of banded candidate pairing,
+    retained for bench_extra's before/after reproduction — the shipped
+    operators (minhash_lsh_pairs, simhash_neardup_pairs) now generate
+    and score pairs inside a per-partition kernel instead, which
+    evaluates the signature subtree once and needs no bucket-sizes
+    join; the capped-bucket POLICY below (min-id representative
+    pairing) is the contract both implementations share.
+
+    Candidate pairs from a banded frame (id, sig, band, bucket) —
     NOT de-duplicated: a pair agreeing on several bands appears once
     per band. Callers compute their score (a pure function of the
     sigs, so duplicates score identically), apply the threshold, and
-    ``distinct()`` the final NARROW projection — r6 moved the dedup
-    after the filter so the exchange carries (id, id, score) survivors
-    instead of every candidate with both full signature payloads
-    (guide §2.3: shuffle keys and scores, not payloads).
+    ``distinct()`` the final NARROW projection (guide §2.3: shuffle
+    keys and scores, not payloads).
 
     Uncapped: full within-bucket pairing (O(c²) per bucket — exact,
     the oracle variant). With ``max_bucket_size``: buckets larger than
