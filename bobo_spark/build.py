@@ -70,7 +70,7 @@ POSTINGS_SCHEMA = (
 )
 
 
-def _small_table_pdf(paths, max_bytes: int = 64 << 20):
+def _small_table_pdf(paths, max_bytes: int = 64 << 20, columns=None):
     """pyarrow-direct read (zero Spark jobs) when the table's on-disk
     size is under ``max_bytes``; None otherwise so the caller keeps the
     distributed path — the gate is exact (file sizes), never a guess,
@@ -87,7 +87,7 @@ def _small_table_pdf(paths, max_bytes: int = 64 << 20):
             return None
     if total > max_bytes:
         return None
-    return read_table_pdf(ps)
+    return read_table_pdf(ps, columns=columns)
 
 
 @dataclass
@@ -1180,27 +1180,60 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> Snapshot:
         raise ValueError(f"no published snapshot in {index_dir}")
     snap = cat.begin_snapshot()
     sid = snap.snapshot_id
-    if isinstance(doc_ids, DataFrame):
-        del_df = doc_ids.select(F.col(doc_ids.columns[0]).cast("long")
-                                .alias("doc_id")).distinct()
-    else:
-        del_df = spark.createDataFrame(
-            [(int(d),) for d in sorted(set(doc_ids))], "doc_id long")
-    # segment lookup: broadcast the (small) delete set against the
-    # forward table — one pushed-down semi-join scan, no forward shuffle
-    fwd = spark.read.parquet(*cat.table_paths(parent, "forward"))
-    del_df = (fwd.select("segment", "doc_id")
-              .join(F.broadcast(del_df), "doc_id")
-              .select("segment", "doc_id"))
     path = cat.table_path("deletes", sid)
-    (del_df.repartition("segment").sortWithinPartitions("segment", "doc_id")
-     .write.mode("overwrite").parquet(path))
+    fwd_paths = cat.table_paths(parent, "forward")
+    prev_paths = cat.table_paths(parent, "deletes")
+    n_deleted = None
+    if not isinstance(doc_ids, DataFrame):
+        # Driver-direct fast path: the id list is ALREADY driver-
+        # resident, so under the shared 64 MB small-table gate
+        # (forward + cumulative deletes) the segment lookup is one
+        # column-pruned pyarrow read and the publish is a local
+        # parquet write — zero scheduled Spark jobs replacing ~4
+        # fixed-latency ones. Web-scale forwards exceed the gate and
+        # keep the distributed semi-join below; DataFrame inputs
+        # always stay distributed (the ids may not fit the driver).
+        ids = np.array(sorted({int(d) for d in doc_ids}), dtype=np.int64)
+        fwd_pdf = _small_table_pdf(fwd_paths, columns=["segment", "doc_id"])
+        prev_pdf = (_small_table_pdf(prev_paths, columns=["doc_id"])
+                    if prev_paths else None)
+        if fwd_pdf is not None and (not prev_paths or prev_pdf is not None):
+            # same semantics as the semi-join: ids absent from the
+            # index are dropped (delete-nonexistent is a no-op)
+            mask = np.isin(fwd_pdf["doc_id"].to_numpy(np.int64), ids)
+            new_pdf = (fwd_pdf.loc[mask, ["segment", "doc_id"]]
+                       .astype({"segment": "int64", "doc_id": "int64"})
+                       .sort_values(["segment", "doc_id"],
+                                    ignore_index=True))
+            write_table_pdf(new_pdf, path)
+            alldel = new_pdf["doc_id"].to_numpy(np.int64)
+            if prev_pdf is not None:
+                alldel = np.concatenate(
+                    [prev_pdf["doc_id"].to_numpy(np.int64), alldel])
+            n_deleted = int(np.unique(alldel).size)
+    if n_deleted is None:
+        if isinstance(doc_ids, DataFrame):
+            del_df = doc_ids.select(F.col(doc_ids.columns[0]).cast("long")
+                                    .alias("doc_id")).distinct()
+        else:
+            del_df = spark.createDataFrame(
+                [(int(d),) for d in sorted(set(doc_ids))], "doc_id long")
+        # segment lookup: broadcast the (small) delete set against the
+        # forward table — one pushed-down semi-join scan, no forward
+        # shuffle
+        fwd = spark.read.parquet(*fwd_paths)
+        del_df = (fwd.select("segment", "doc_id")
+                  .join(F.broadcast(del_df), "doc_id")
+                  .select("segment", "doc_id"))
+        (del_df.repartition("segment").sortWithinPartitions("segment", "doc_id")
+         .write.mode("overwrite").parquet(path))
+        n_deleted = int(
+            spark.read.parquet(*(prev_paths + [path]))
+            .select("doc_id").distinct().count())
     snap.stats = dict(parent.stats)
     snap.tables = dict(parent.tables)
-    snap.tables["deletes"] = cat.table_paths(parent, "deletes") + [path]
-    snap.stats["n_deleted"] = int(
-        spark.read.parquet(*snap.tables["deletes"])
-        .select("doc_id").distinct().count())
+    snap.tables["deletes"] = prev_paths + [path]
+    snap.stats["n_deleted"] = n_deleted
     cat.update_snapshot(snap)
     cat.mark_stage(snap, "published")
     return cat.get(sid)

@@ -34,14 +34,15 @@ from dataclasses import dataclass, field
 TABLES = ("terms", "postings", "forward", "dict_lang", "dict_ts_bucket", "meta")
 
 
-def read_table_arrow(paths):
+def read_table_arrow(paths, columns=None):
     """Read a catalog table straight into ONE pyarrow Table — zero
     Spark jobs (None when no files). The catalog is local-filesystem
     by design (see module docstring: the manifest is plain
     `open()`/`os.replace`), so driver-direct table IO is valid
     wherever the manifest itself is; schemas across files are
     promoted (missing columns -> null), matching Spark's
-    mergeSchema=true."""
+    mergeSchema=true. ``columns`` prunes the read to the named
+    columns (they must exist in every file)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -54,26 +55,27 @@ def read_table_arrow(paths):
             files.append(p)
     if not files:
         return None
+    read = lambda f: pq.read_table(f, columns=columns)  # noqa: E731
     if len(files) > 1:
         # pyarrow releases the GIL during parquet decode — parallel
         # per-file reads cut the wall time of multi-file tables
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(8, len(files))) as pool:
-            tables = list(pool.map(pq.read_table, files))
+            tables = list(pool.map(read, files))
     else:
-        tables = [pq.read_table(files[0])]
+        tables = [read(files[0])]
     return pa.concat_tables(tables, promote_options="permissive")
 
 
-def read_table_pdf(paths):
+def read_table_pdf(paths, columns=None):
     """Read a SMALL catalog table (dicts, terms, meta, idmap) straight
     into pandas with pyarrow — zero Spark jobs (see
     ``read_table_arrow``). Large tables (postings, forward) keep going
     through Spark scans."""
     import pandas as pd
 
-    tbl = read_table_arrow(paths)
+    tbl = read_table_arrow(paths, columns=columns)
     return pd.DataFrame() if tbl is None else tbl.to_pandas()
 
 

@@ -206,3 +206,42 @@ def test_matchall_facets_list_fully_deleted_values(env):
     fc = after.facet_counts("lang")
     assert ma.facets["lang"]["value"].tolist() == fc["value"].tolist()
     assert ma.facets["lang"]["count"].tolist() == fc["count"].tolist()
+
+
+def test_driver_delete_path_matches_distributed(spark, tmp_path_factory):
+    """The gated driver-direct delete path (list input, small forward)
+    must publish byte-equivalent tombstones to the distributed
+    semi-join path (DataFrame input) — same (segment, doc_id) rows,
+    same cumulative n_deleted; the distributed path keeps coverage."""
+    import pandas as pd
+
+    from bobo_spark.catalog import IndexCatalog, read_table_pdf
+
+    victims = [3, 77, 205, 206, 999_999]  # last id absent -> dropped
+    snaps = {}
+    for kind in ("list", "df"):
+        d = str(tmp_path_factory.mktemp(f"idx_delpar_{kind}"))
+        build_snapshot(spark, webpages(spark, 300, 3), d,
+                       BuildConfig(docs_per_segment=100))
+        ids = (victims if kind == "list"
+               else spark.createDataFrame([(v,) for v in victims],
+                                          "doc_id long"))
+        snap = delete_docs(spark, d, ids)
+        # second round on top of the first (cumulative distinct count)
+        ids2 = ([205, 8] if kind == "list"
+                else spark.createDataFrame([(205,), (8,)], "doc_id long"))
+        snap = delete_docs(spark, d, ids2)
+        cat = IndexCatalog(d)
+        pdf = (read_table_pdf(cat.table_paths(snap, "deletes"))
+               .astype({"segment": "int64", "doc_id": "int64"})
+               .sort_values(["segment", "doc_id"], ignore_index=True))
+        snaps[kind] = (snap.stats["n_deleted"], pdf)
+    n_list, pdf_list = snaps["list"]
+    n_df, pdf_df = snaps["df"]
+    assert n_list == n_df == 5  # 4 real victims + doc 8; 205 deduped
+    pd.testing.assert_frame_equal(pdf_list[["segment", "doc_id"]],
+                                  pdf_df[["segment", "doc_id"]])
+    # reader agrees regardless of which path wrote the tombstones
+    ra = IndexReader(spark, tmp_path_factory.getbasetemp().as_posix()
+                     + "/idx_delpar_list0")
+    assert set(ra.deleted) == {3, 8, 77, 205, 206}
