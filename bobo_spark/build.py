@@ -703,6 +703,7 @@ def build_snapshot(
     docs_path = cat.table_path("_docs", sid)
 
     # ---- stage: docs + dictionaries -------------------------------------
+    docs_pool = docs_fut = None
     if "docs" not in snap.stages:
         parent_lang = parent_ts = None
         if parent is not None:
@@ -732,182 +733,235 @@ def build_snapshot(
             {"ordinal": "ts_ord", "value": "ts_bucket"}
         )
         keep_text = [] if have_text else ["text"]
-        (
-            base.join(F.broadcast(lang_map), "lang")
-            .join(F.broadcast(ts_map), "ts_bucket")
-            .select("doc_id", "url", F.length("text").alias("n_bytes"),
-                    "lang_ord", "ts_ord", _segment_col(cfg), *keep_text)
-            .write.mode("overwrite")
-            .parquet(docs_path)
-        )
-        mark("docs")
 
-    docs_t = spark.read.parquet(docs_path)
+        def _write_docs_table() -> float:
+            t0 = time.time()
+            (
+                base.join(F.broadcast(lang_map), "lang")
+                .join(F.broadcast(ts_map), "ts_bucket")
+                .select("doc_id", "url", F.length("text").alias("n_bytes"),
+                        "lang_ord", "ts_ord", _segment_col(cfg), *keep_text)
+                .write.mode("overwrite")
+                .parquet(docs_path)
+            )
+            return time.time() - t0
 
-    # ---- stage: sections (regex mode only) --------------------------------
-    # Per-doc section boundary arrays — written once per doc (tiny next
-    # to postings); window-mode sections are pure position arithmetic
-    # and need no table at all.
-    sections_path = cat.table_path("sections", sid)
-    if (cfg.sections and cfg.sections[0] == "regex"
-            and "sections" not in snap.stages):
-        if not cfg.store_positions:
-            raise ValueError("sections require store_positions=True")
-        pattern = cfg.sections[1]
+        if have_text:
+            # guide §2.6 (overlap independent jobs): with a text-bearing
+            # input the slim doc-table write feeds only the stats and
+            # forward stages — the sections/terms jobs read the CALLER'S
+            # frame plus the dictionaries written driver-direct above,
+            # never docs_t, so the write runs concurrently with the
+            # terms tokenize pass and its wall time disappears behind
+            # it. html inputs keep the serial write (later stages read
+            # the extracted text FROM docs_t).
+            from concurrent.futures import ThreadPoolExecutor
 
-        def to_sections(batches):
-            from .tokenizer import section_starts_frame
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                out = section_starts_frame(
-                    pdf["doc_id"].to_numpy(np.int64), pdf["text"], pattern)
-                out["segment"] = (pdf["doc_id"].to_numpy(np.int64)
-                                  // cfg.docs_per_segment)
-                yield out
+            docs_pool = ThreadPoolExecutor(max_workers=1)
+            # dict-aggregation wall up to the submit stays attributed to
+            # the docs stage (added to the write secs at join time)
+            docs_dict_secs = time.time() - _stage_t[0]
+            docs_fut = docs_pool.submit(_write_docs_table)
+            _stage_t[0] = time.time()  # next mark() times its own stage
+        else:
+            _write_docs_table()
+            mark("docs")
 
-        sec_src = (docs.select("doc_id", "text") if have_text
-                   else docs_t.select("doc_id", "text"))
-        sec_src.mapInPandas(
-            to_sections,
-            schema="doc_id long, n_secs int, sec_bytes binary, segment long",
-        ).write.mode("overwrite").parquet(sections_path)
-        mark("sections")
+    def _docs_table() -> DataFrame:
+        """Join the overlapped doc-table write (if any) and read the
+        table — called at the first point a stage needs docs_t."""
+        nonlocal docs_pool, docs_fut
+        if docs_fut is not None:
+            secs = docs_fut.result()  # re-raises a failed write loud
+            docs_fut = None
+            docs_pool.shutdown()
+            docs_pool = None
+            snap.stats.setdefault("stage_secs", {})["docs"] = round(
+                docs_dict_secs + secs, 2)
+            cat.mark_stage(snap, "docs")
+        return spark.read.parquet(docs_path)
 
-    # ---- pair source (both pipelines): (doc_id, text, ords, segment) ----
-    if have_text:
-        # slim-docs path: ords/segment recomputed from the caller's
-        # frame + broadcast dict maps — text is never rewritten
-        lang_map2 = (
-            spark.read.parquet(cat.table_path("dict_lang", sid))
-            .select(F.col("ordinal").alias("lang_ord"), F.col("value").alias("lang")))
-        ts_map2 = (
-            spark.read.parquet(cat.table_path("dict_ts_bucket", sid))
-            .select(F.col("ordinal").alias("ts_ord"), F.col("value").alias("ts_bucket")))
-        pair_src = (
-            docs.select("doc_id", "text", "lang", ts_col)
-            .join(F.broadcast(lang_map2), "lang")
-            .join(F.broadcast(ts_map2), "ts_bucket")
-            .select("doc_id", "text", "lang_ord", "ts_ord", _segment_col(cfg))
-        )
-    else:
-        pair_src = docs_t.select("doc_id", "text", "lang_ord", "ts_ord", "segment")
+    # Everything between the overlapped doc-table submit and the
+    # serialization point below runs under a guard: a stage failure
+    # must JOIN the in-flight write before propagating, or an
+    # immediate same-process retry (resume) would race a second
+    # write of docs_path against the leftover thread.
+    try:
+        # ---- stage: sections (regex mode only) --------------------------------
+        # Per-doc section boundary arrays — written once per doc (tiny next
+        # to postings); window-mode sections are pure position arithmetic
+        # and need no table at all.
+        sections_path = cat.table_path("sections", sid)
+        if (cfg.sections and cfg.sections[0] == "regex"
+                and "sections" not in snap.stages):
+            if not cfg.store_positions:
+                raise ValueError("sections require store_positions=True")
+            pattern = cfg.sections[1]
 
-    want_v2 = cfg.pipeline in ("auto", "segment_local")
+            def to_sections(batches):
+                from .tokenizer import section_starts_frame
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    out = section_starts_frame(
+                        pdf["doc_id"].to_numpy(np.int64), pdf["text"], pattern)
+                    out["segment"] = (pdf["doc_id"].to_numpy(np.int64)
+                                      // cfg.docs_per_segment)
+                    yield out
 
-    # ---- stage: pairs (built lazily; classic pipeline / auto-fallback) ---
-    # (tf, doclen, lang_ord, ts_ord) are bit-packed into ONE long
-    # (tf<<40 | dl<<24 | lang<<16 | ts) — halves the bytes moved
-    # through the posting shuffle, the build's dominant memory/IO cost.
-    pairs_path = cat.table_path("_pairs", sid)
+            sec_src = (docs.select("doc_id", "text") if have_text
+                       else _docs_table().select("doc_id", "text"))
+            sec_src.mapInPandas(
+                to_sections,
+                schema="doc_id long, n_secs int, sec_bytes binary, segment long",
+            ).write.mode("overwrite").parquet(sections_path)
+            mark("sections")
 
-    def build_pairs_table():
-        def to_pairs(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                tf = term_freq_frame(pdf["doc_id"].to_numpy(np.int64), pdf["text"],
-                                     positions=cfg.store_positions)
-                side = pdf[["doc_id", "lang_ord", "ts_ord", "segment"]].set_index("doc_id")
-                tf = tf.join(side, on="doc_id")
-                packed = pack_meta(tf["tf"].to_numpy(np.int64),
-                                   tf["doclen"].to_numpy(np.int64),
-                                   tf["lang_ord"].to_numpy(np.int64),
-                                   tf["ts_ord"].to_numpy(np.int64))
-                out = pd.DataFrame({
-                    "doc_id": tf["doc_id"],
-                    "term": tf["term"],
-                    "packed": packed,
-                    "segment": tf["segment"],
-                    "pos_bytes": (tf["pos_bytes"].reset_index(drop=True)
-                                  if cfg.store_positions
-                                  else pd.Series(empty_binary_array(len(tf)))),
-                })
-                # facet-value sentinel postings ("\x00field:ord", tf=1):
-                # give selective facet selections an inverted access
-                # path (≙ AdaptiveFacetFilter's OR-of-TermDocIdSet,
-                # facets/filter/AdaptiveFacetFilter.java:56-90).
-                # '\x00' cannot collide with [a-z0-9]+ text tokens.
-                n = len(pdf)
-                sent_packed = pack_meta(
-                    np.ones(n, dtype=np.int64), np.zeros(n, dtype=np.int64),
-                    pdf["lang_ord"].to_numpy(np.int64), pdf["ts_ord"].to_numpy(np.int64))
-                sent = pd.concat([
-                    pd.DataFrame({
-                        "doc_id": pdf["doc_id"],
-                        "term": ("\x00" + fld + ":") + pdf[col].astype(str),
-                        "packed": sent_packed,
-                        "segment": pdf["segment"],
-                        "pos_bytes": pd.Series(empty_binary_array(len(pdf))),
+        # ---- pair source (both pipelines): (doc_id, text, ords, segment) ----
+        if have_text:
+            # slim-docs path: ords/segment recomputed from the caller's
+            # frame + broadcast dict maps — text is never rewritten
+            lang_map2 = (
+                spark.read.parquet(cat.table_path("dict_lang", sid))
+                .select(F.col("ordinal").alias("lang_ord"), F.col("value").alias("lang")))
+            ts_map2 = (
+                spark.read.parquet(cat.table_path("dict_ts_bucket", sid))
+                .select(F.col("ordinal").alias("ts_ord"), F.col("value").alias("ts_bucket")))
+            pair_src = (
+                docs.select("doc_id", "text", "lang", ts_col)
+                .join(F.broadcast(lang_map2), "lang")
+                .join(F.broadcast(ts_map2), "ts_bucket")
+                .select("doc_id", "text", "lang_ord", "ts_ord", _segment_col(cfg))
+            )
+        else:
+            pair_src = _docs_table().select("doc_id", "text", "lang_ord", "ts_ord", "segment")
+
+        want_v2 = cfg.pipeline in ("auto", "segment_local")
+
+        # ---- stage: pairs (built lazily; classic pipeline / auto-fallback) ---
+        # (tf, doclen, lang_ord, ts_ord) are bit-packed into ONE long
+        # (tf<<40 | dl<<24 | lang<<16 | ts) — halves the bytes moved
+        # through the posting shuffle, the build's dominant memory/IO cost.
+        pairs_path = cat.table_path("_pairs", sid)
+
+        def build_pairs_table():
+            def to_pairs(batches):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    tf = term_freq_frame(pdf["doc_id"].to_numpy(np.int64), pdf["text"],
+                                         positions=cfg.store_positions)
+                    side = pdf[["doc_id", "lang_ord", "ts_ord", "segment"]].set_index("doc_id")
+                    tf = tf.join(side, on="doc_id")
+                    packed = pack_meta(tf["tf"].to_numpy(np.int64),
+                                       tf["doclen"].to_numpy(np.int64),
+                                       tf["lang_ord"].to_numpy(np.int64),
+                                       tf["ts_ord"].to_numpy(np.int64))
+                    out = pd.DataFrame({
+                        "doc_id": tf["doc_id"],
+                        "term": tf["term"],
+                        "packed": packed,
+                        "segment": tf["segment"],
+                        "pos_bytes": (tf["pos_bytes"].reset_index(drop=True)
+                                      if cfg.store_positions
+                                      else pd.Series(empty_binary_array(len(tf)))),
                     })
-                    for fld, col in (("lang", "lang_ord"), ("ts", "ts_ord"))
-                ], ignore_index=True)
-                both = pd.concat([out, sent], ignore_index=True)
-                both["pos_bytes"] = compact_binary(both["pos_bytes"])
-                yield both
+                    # facet-value sentinel postings ("\x00field:ord", tf=1):
+                    # give selective facet selections an inverted access
+                    # path (≙ AdaptiveFacetFilter's OR-of-TermDocIdSet,
+                    # facets/filter/AdaptiveFacetFilter.java:56-90).
+                    # '\x00' cannot collide with [a-z0-9]+ text tokens.
+                    n = len(pdf)
+                    sent_packed = pack_meta(
+                        np.ones(n, dtype=np.int64), np.zeros(n, dtype=np.int64),
+                        pdf["lang_ord"].to_numpy(np.int64), pdf["ts_ord"].to_numpy(np.int64))
+                    sent = pd.concat([
+                        pd.DataFrame({
+                            "doc_id": pdf["doc_id"],
+                            "term": ("\x00" + fld + ":") + pdf[col].astype(str),
+                            "packed": sent_packed,
+                            "segment": pdf["segment"],
+                            "pos_bytes": pd.Series(empty_binary_array(len(pdf))),
+                        })
+                        for fld, col in (("lang", "lang_ord"), ("ts", "ts_ord"))
+                    ], ignore_index=True)
+                    both = pd.concat([out, sent], ignore_index=True)
+                    both["pos_bytes"] = compact_binary(both["pos_bytes"])
+                    yield both
 
-        pairs_schema = "doc_id long, term string, packed long, segment long, pos_bytes binary"
-        pair_src.mapInPandas(to_pairs, schema=pairs_schema).write.mode("overwrite").parquet(pairs_path)
+            pairs_schema = "doc_id long, term string, packed long, segment long, pos_bytes binary"
+            pair_src.mapInPandas(to_pairs, schema=pairs_schema).write.mode("overwrite").parquet(pairs_path)
 
-    _pairs_cache: list = []
+        _pairs_cache: list = []
 
-    def ensure_pairs() -> DataFrame:
-        """Materialize the pair table on first need (classic pipeline,
-        or auto-fallback when the dictionary outgrows broadcast)."""
-        if not _pairs_cache:
-            if "pairs" not in snap.stages:
-                build_pairs_table()
-                mark("pairs")
-            _pairs_cache.append(spark.read.parquet(pairs_path))
-        return _pairs_cache[0]
+        def ensure_pairs() -> DataFrame:
+            """Materialize the pair table on first need (classic pipeline,
+            or auto-fallback when the dictionary outgrows broadcast)."""
+            if not _pairs_cache:
+                if "pairs" not in snap.stages:
+                    build_pairs_table()
+                    mark("pairs")
+                _pairs_cache.append(spark.read.parquet(pairs_path))
+            return _pairs_cache[0]
 
-    TF = F.shiftright("packed", 40)
+        TF = F.shiftright("packed", 40)
 
-    # ---- stage: terms ----------------------------------------------------
-    terms_path = cat.table_path("terms", sid)
-    if "terms" not in snap.stages:
-        if want_v2:
-            # pass 1: tokenize-and-count partials, one tiny shuffle of
-            # ~vocab rows per partition (no pair materialization)
-            delta_terms = (
-                pair_src.mapInPandas(_term_stats_partial,
-                                     schema="term string, df long, cf long")
-                .groupBy("term")
-                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-            )
-        else:
-            delta_terms = ensure_pairs().groupBy("term").agg(
-                F.count("*").alias("df"), F.sum(TF).alias("cf")
-            )
-        if parent is not None:
-            old = spark.read.parquet(*cat.table_paths(parent, "terms"))
-            merged = (
-                delta_terms.join(old.withColumnsRenamed({"df": "df0", "cf": "cf0"}), "term", "full")
-                .select(
-                    "term",
-                    (F.coalesce("df", F.lit(0)) + F.coalesce("df0", F.lit(0))).alias("df"),
-                    (F.coalesce("cf", F.lit(0)) + F.coalesce("cf0", F.lit(0))).alias("cf"),
-                    F.col("term_id"),
+        # ---- stage: terms ----------------------------------------------------
+        terms_path = cat.table_path("terms", sid)
+        if "terms" not in snap.stages:
+            if want_v2:
+                # pass 1: tokenize-and-count partials, one tiny shuffle of
+                # ~vocab rows per partition (no pair materialization)
+                delta_terms = (
+                    pair_src.mapInPandas(_term_stats_partial,
+                                         schema="term string, df long, cf long")
+                    .groupBy("term")
+                    .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
                 )
-            )
-            known = merged.where(F.col("term_id").isNotNull())
-            novel = merged.where(F.col("term_id").isNull()).drop("term_id")
-            max_id = old.agg(F.max("term_id")).collect()[0][0] or -1
-            novel_ids = assign_sorted_ids(novel, spark, id_base=max_id + 1)
-            full = known.unionByName(novel_ids)
-            full.write.mode("overwrite").parquet(terms_path)
-        else:
-            full = assign_sorted_ids(delta_terms, spark, id_base=0,
-                                     as_pandas=True)
-            if isinstance(full, pd.DataFrame):
-                # driver-resident dictionary: local parquet write, no
-                # round-trip through a scheduled Spark job
-                write_table_pdf(full, terms_path)
             else:
+                delta_terms = ensure_pairs().groupBy("term").agg(
+                    F.count("*").alias("df"), F.sum(TF).alias("cf")
+                )
+            if parent is not None:
+                old = spark.read.parquet(*cat.table_paths(parent, "terms"))
+                merged = (
+                    delta_terms.join(old.withColumnsRenamed({"df": "df0", "cf": "cf0"}), "term", "full")
+                    .select(
+                        "term",
+                        (F.coalesce("df", F.lit(0)) + F.coalesce("df0", F.lit(0))).alias("df"),
+                        (F.coalesce("cf", F.lit(0)) + F.coalesce("cf0", F.lit(0))).alias("cf"),
+                        F.col("term_id"),
+                    )
+                )
+                known = merged.where(F.col("term_id").isNotNull())
+                novel = merged.where(F.col("term_id").isNull()).drop("term_id")
+                max_id = old.agg(F.max("term_id")).collect()[0][0] or -1
+                novel_ids = assign_sorted_ids(novel, spark, id_base=max_id + 1)
+                full = known.unionByName(novel_ids)
                 full.write.mode("overwrite").parquet(terms_path)
-        mark("terms")
+            else:
+                full = assign_sorted_ids(delta_terms, spark, id_base=0,
+                                         as_pandas=True)
+                if isinstance(full, pd.DataFrame):
+                    # driver-resident dictionary: local parquet write, no
+                    # round-trip through a scheduled Spark job
+                    write_table_pdf(full, terms_path)
+                else:
+                    full.write.mode("overwrite").parquet(terms_path)
+            mark("terms")
+
+    except BaseException:
+        if docs_fut is not None:
+            import contextlib
+            with contextlib.suppress(Exception):
+                docs_fut.result()
+            docs_pool.shutdown()
+        raise
 
     terms = spark.read.parquet(terms_path)
+    # serialization point for the overlapped doc-table write: stats and
+    # forward both consume docs_t
+    docs_t = _docs_table()
 
     # ---- stage: stats ----------------------------------------------------
     if "stats" not in snap.stages:
