@@ -389,7 +389,8 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
 
     # ---- stage: postings (map-only rewrite, no shuffle) ------------------
     postings_path = cat.table_path("postings", sid)
-    if "postings" not in snap.stages:
+
+    def _run_postings() -> None:
         n_terms = snap.stats.get("n_terms", 0)
         use_bc = n_terms <= broadcast_idmap_threshold
         tid_rm = None
@@ -433,13 +434,13 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
                 # restore it before writing
                 .sortWithinPartitions("segment", "term_id", "first_doc"))
         rewritten.write.mode("overwrite").parquet(postings_path)
-        mark("postings")
 
-    # ---- stages: forward + sections + meta (run CONCURRENTLY) ------------
-    # independent small jobs over already-written inputs with mostly
-    # fixed driver/scheduling latency — overlapping them removes a
-    # fixed serial cost exactly like the build's forward+meta overlap
-    # (guide §2.6: back-fill executors from a driver thread pool)
+    # ---- stages: postings ∥ forward ∥ sections, then meta -----------------
+    # the forward and sections rewrites read only the PARENT tables,
+    # the tombstones and the ordinal remaps — all ready before the
+    # postings rewrite — so they run concurrently WITH it (guide §2.6:
+    # back-fill executors from a driver thread pool); meta aggregates
+    # the new postings and starts as soon as the rewrite lands
     forward_path = cat.table_path("forward", sid)
     sections_path = cat.table_path("sections", sid)
     has_sections = bool(cat.table_paths(parent, "sections"))
@@ -481,22 +482,37 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
          .withColumn("snapshot_id", F.lit(sid))
          .write.mode("overwrite").parquet(meta_path))
 
-    todo = []
+    def _timed(fn) -> float:
+        t0 = _time.time()
+        fn()
+        return _time.time() - t0
+
+    pre = []
     if "forward" not in snap.stages:
-        todo.append(("forward", _run_forward))
+        pre.append(("forward", _run_forward))
     if has_sections and "sections" not in snap.stages:
-        todo.append(("sections", _run_sections))
-    if "meta" not in snap.stages:
-        todo.append(("meta", _run_meta))
-    if todo:
+        pre.append(("sections", _run_sections))
+    need_postings = "postings" not in snap.stages
+    need_meta = "meta" not in snap.stages
+    if pre or need_postings or need_meta:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=len(todo)) as ex:
-            futs = [(name, ex.submit(fn)) for name, fn in todo]
-            for _name, f in futs:
-                f.result()
-        for name, _fn in todo:
-            mark(name)
+        # the executor context joins every thread even when the
+        # postings rewrite raises, so a resume never races leftover
+        # forward/sections writes
+        with ThreadPoolExecutor(max_workers=len(pre) + 1) as ex:
+            futs = [(name, ex.submit(_timed, fn)) for name, fn in pre]
+            if need_postings:
+                _run_postings()  # on the calling thread
+                mark("postings")
+            if need_meta:
+                futs.append(("meta", ex.submit(_timed, _run_meta)))
+            for name, f in futs:
+                # per-thread durations (walls overlap by design)
+                snap.stats.setdefault("stage_secs", {})[name] = round(
+                    f.result(), 2)
+                cat.mark_stage(snap, name)
+        _stage_t[0] = _time.time()  # publish times only its own work
 
     # ---- publish ---------------------------------------------------------
     if "published" not in snap.stages:
