@@ -454,12 +454,34 @@ def merge_snapshot(spark: SparkSession, index_dir: str,
                               f"new_{fld}": rm}))
             maps.append(F.broadcast(mdf))
         nfp = max(8, spark.sparkContext.defaultParallelism)
-        (surv_fwd.join(maps[0], "lang_ord").join(maps[1], "ts_ord")
-         .select("segment", "doc_id", "doclen", "url",
-                 F.col("new_lang_ord").alias("lang_ord"),
-                 F.col("new_ts_ord").alias("ts_ord"))
-         .repartitionByRange(nfp, "segment", "doc_id")
-         .sortWithinPartitions("segment", "doc_id")
+        rows = (surv_fwd.join(maps[0], "lang_ord").join(maps[1], "ts_ord")
+                .select("segment", "doc_id", "doclen", "url",
+                        F.col("new_lang_ord").alias("lang_ord"),
+                        F.col("new_ts_ord").alias("ts_ord")))
+        dmin = snap.stats.get("doc_min")
+        dmax = snap.stats.get("doc_max")
+        span = (dmax - dmin + 1) if dmin is not None else None
+        if span and span <= 2 * max(1, snap.stats.get("n_docs", 0)):
+            # dense survivor ids: arithmetic range partitioning via
+            # identity keys — repartitionByRange would evaluate the
+            # anti-join + remap joins a SECOND time just to sample
+            # boundaries (the same fix the build's forward stage uses —
+            # the sampling pass cost ~half the 2M forward rewrite).
+            # segment is monotone
+            # in doc_id (assigned as doc_id // docs_per_segment at
+            # build, appends only grow both), so doc-range partitioning
+            # preserves the (segment, doc_id) range layout.
+            from .build import _identity_partition_keys
+            keys = _identity_partition_keys(spark, nfp)
+            part = F.floor((F.col("doc_id") - F.lit(dmin)) * F.lit(nfp)
+                           / F.lit(span)).cast("int")
+            pk = F.element_at(F.array(*[F.lit(k) for k in keys]), part + 1)
+            rows = (rows.withColumn("_pk", pk)
+                    .repartition(nfp, "_pk").drop("_pk"))
+        else:
+            # sparse survivors (heavy tombstoning): sampled ranges
+            rows = rows.repartitionByRange(nfp, "segment", "doc_id")
+        (rows.sortWithinPartitions("segment", "doc_id")
          .write.mode("overwrite").parquet(forward_path))
 
     def _run_sections() -> None:

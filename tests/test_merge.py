@@ -310,3 +310,27 @@ def test_merge_positions_off_index(spark, tmp_path):
     # positions guard
     with pytest.raises(ValueError, match="position"):
         m.search(SearchRequest(query="ba da", mode="phrase", k=5))
+
+
+def test_merge_sparse_survivors_forward_fallback(spark, tmp_path):
+    """Heavy tombstoning (survivor span > 2x survivor count) takes the
+    sampled repartitionByRange fallback in the merge's forward rewrite
+    instead of the dense identity-key arithmetic — results must match
+    a fresh build of the survivors either way."""
+    d = str(tmp_path / "sparse")
+    fresh = str(tmp_path / "fresh")
+    docs = webpages(spark, 600, 4)
+    cfg = BuildConfig(docs_per_segment=150)
+    build_snapshot(spark, docs, d, cfg)
+    victims = [i for i in range(600) if i % 3 != 0]  # keep every 3rd
+    delete_docs(spark, d, victims)
+    snap = merge_snapshot(spark, d)
+    # gate check: span (~599) > 2 * survivors (400) -> fallback branch
+    assert (snap.stats["doc_max"] - snap.stats["doc_min"] + 1
+            > 2 * snap.stats["n_docs"])
+    build_snapshot(spark, docs.where(~F.col("doc_id").isin(victims)),
+                   fresh, cfg)
+    cols = ["segment", "doc_id", "doclen", "lang_ord", "ts_ord", "url"]
+    m = IndexReader(spark, d)._forward.orderBy("doc_id").toPandas()[cols]
+    f = IndexReader(spark, fresh)._forward.orderBy("doc_id").toPandas()[cols]
+    pd.testing.assert_frame_equal(m, f)
